@@ -1,0 +1,150 @@
+"""Backbone builders: CONV_BODY string -> module + metadata.
+
+Mirrors the registry dispatch of reference
+modeling/backbone/backbone.py:12-79 for the bodies the shipped configs
+use (R-50/101/152 C4/C5/FPN).  FBNet (reference fbnet.py) is
+intentionally not rebuilt — dead code for all shipped configs
+(SURVEY.md "Won't build").
+"""
+
+from typing import Any, Tuple
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from .fpn import FPN
+from .resnet import RESNET_STAGES, ResNet
+
+
+class ResNetBackbone(nn.Module):
+    """C4/C5 single-feature backbone."""
+
+    depth: str = "R-50"
+    num_stages: int = 3  # 3 -> C4, 4 -> C5
+    stem_out_channels: int = 64
+    res2_out_channels: int = 256
+    num_groups: int = 1
+    width_per_group: int = 64
+    stride_in_1x1: bool = True
+    res5_dilation: int = 1
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        stages = RESNET_STAGES[self.depth][: self.num_stages]
+        ret = f"C{self.num_stages + 1}"
+        feats = ResNet(
+            stages=stages,
+            return_stages=(ret,),
+            stem_out_channels=self.stem_out_channels,
+            res2_out_channels=self.res2_out_channels,
+            num_groups=self.num_groups,
+            width_per_group=self.width_per_group,
+            stride_in_1x1=self.stride_in_1x1,
+            res5_dilation=self.res5_dilation,
+            dtype=self.dtype,
+            name="body",
+        )(x)
+        return [feats[ret]]
+
+
+class ResNetFPNBackbone(nn.Module):
+    depth: str = "R-50"
+    out_channels: int = 256
+    use_gn: bool = False
+    use_relu: bool = False
+    retinanet: bool = False
+    stem_out_channels: int = 64
+    res2_out_channels: int = 256
+    num_groups: int = 1
+    width_per_group: int = 64
+    stride_in_1x1: bool = True
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        feats = ResNet(
+            stages=RESNET_STAGES[self.depth],
+            return_stages=("C2", "C3", "C4", "C5"),
+            stem_out_channels=self.stem_out_channels,
+            res2_out_channels=self.res2_out_channels,
+            num_groups=self.num_groups,
+            width_per_group=self.width_per_group,
+            stride_in_1x1=self.stride_in_1x1,
+            dtype=self.dtype,
+            name="body",
+        )(x)
+        c = self.res2_out_channels
+        return FPN(
+            in_channels_list=[c, c * 2, c * 4, c * 8],
+            out_channels=self.out_channels,
+            use_gn=self.use_gn,
+            use_relu=self.use_relu,
+            top_block="p6p7" if self.retinanet else "maxpool",
+            dtype=self.dtype,
+            name="fpn",
+        )(feats)
+
+
+def build_backbone(cfg, dtype=jnp.float32) -> Tuple[nn.Module, dict]:
+    """Returns (module, meta) where meta has out_channels, strides and
+    the freeze prefix list for the optimizer mask."""
+    body = cfg.MODEL.BACKBONE.CONV_BODY
+    r = cfg.MODEL.RESNETS
+    common = dict(
+        stem_out_channels=r.STEM_OUT_CHANNELS,
+        res2_out_channels=r.RES2_OUT_CHANNELS,
+        num_groups=r.NUM_GROUPS,
+        width_per_group=r.WIDTH_PER_GROUP,
+        stride_in_1x1=r.STRIDE_IN_1X1,
+        dtype=dtype,
+    )
+    if body.endswith("-C4"):
+        depth = body[: -len("-C4")]
+        mod = ResNetBackbone(depth=depth, num_stages=3, **common)
+        meta = dict(out_channels=r.RES2_OUT_CHANNELS * 4, strides=(16,))
+    elif body.endswith("-C5"):
+        depth = body[: -len("-C5")]
+        mod = ResNetBackbone(
+            depth=depth, num_stages=4, res5_dilation=r.RES5_DILATION, **common
+        )
+        meta = dict(out_channels=r.RES2_OUT_CHANNELS * 8, strides=(32,))
+    elif body.endswith("-FPN-RETINANET"):
+        depth = body[: -len("-FPN-RETINANET")]
+        mod = ResNetFPNBackbone(
+            depth=depth,
+            out_channels=r.BACKBONE_OUT_CHANNELS,
+            use_gn=cfg.MODEL.FPN.USE_GN,
+            use_relu=cfg.MODEL.FPN.USE_RELU,
+            retinanet=True,
+            **common,
+        )
+        meta = dict(
+            out_channels=r.BACKBONE_OUT_CHANNELS,
+            strides=(8, 16, 32, 64, 128),
+        )
+    elif body.endswith("-FPN"):
+        depth = body[: -len("-FPN")]
+        mod = ResNetFPNBackbone(
+            depth=depth,
+            out_channels=r.BACKBONE_OUT_CHANNELS,
+            use_gn=cfg.MODEL.FPN.USE_GN,
+            use_relu=cfg.MODEL.FPN.USE_RELU,
+            **common,
+        )
+        meta = dict(
+            out_channels=r.BACKBONE_OUT_CHANNELS, strides=(4, 8, 16, 32, 64)
+        )
+    else:
+        raise ValueError(f"Unknown CONV_BODY {body}")
+
+    # Freezing: FREEZE_CONV_BODY_AT=k freezes the stem and layers 1..k-1
+    # (reference resnet.py:134-143 _freeze_backbone).
+    freeze_at = cfg.MODEL.BACKBONE.FREEZE_CONV_BODY_AT
+    frozen_prefixes = []
+    if freeze_at > 0:
+        frozen_prefixes.append("body/stem")
+        for i in range(1, freeze_at):
+            frozen_prefixes.append(f"body/layer{i}")
+    meta["frozen_prefixes"] = tuple(frozen_prefixes)
+    return mod, meta

@@ -1,0 +1,451 @@
+"""STGeneralizedRCNN — teacher->student cross-modal pseudo-labeling with
+uncertainty-weighted mask distillation (the paper's contribution).
+
+TPU re-design of reference
+modeling/detector/st_generalized_rcnn.py:27-418.  Key structural changes:
+
+* **One fused jitted step.** The reference crosses the device boundary
+  inside ``generate_pseudo_label`` (Masker/SegmentationMask on CPU,
+  st_generalized_rcnn.py:264-272) and again when projecting pseudo masks
+  back to 14x14 student targets (mask_head/loss.py:31-42).  Here teacher
+  pseudo-labeling, mask distillation and both student branches trace
+  into a single XLA program; teacher masks stay in their 14x14 box frame
+  and are resampled straight onto the student's proposal crops
+  (ops/masks.crop_resize_from_box_frame), eliminating the paste->crop
+  roundtrip entirely.
+* **Masked dual branches.** The caption branch (images with
+  ``nn_caption != ''``) and the detection branch (``is_det == 'Yes'``)
+  run over the full padded batch weighted by per-image masks; the
+  reference's dummy-loss DDP workaround (st_generalized_rcnn.py:277-282)
+  becomes a free multiply-by-zero.
+* **Teacher frozen by construction**: teacher outputs pass through
+  ``stop_gradient`` and the optimizer masks the teacher/backbone/rpn
+  subtrees (engine/optimizer.py), mirroring requires_grad=False
+  (st_generalized_rcnn.py:59-67).
+* Exemplar memory (st_generalized_rcnn.py:107-177) is a fixed-size
+  [vocab, emb] quality/embedding table in the train state, merged across
+  devices by quality-argmax psum instead of per-rank pickle files; the
+  update call is disabled by default exactly as at the reference HEAD
+  (:325-326), with ``lambda_exemplar`` kept as a trainable scalar.
+
+Pseudo-label math (generate_pseudo_label, :218-275): teacher eval-mode
+box branch on RPN proposals -> region embeddings from emb_pred ->
+einsum('pd,wd->pw') against BERT noun embeddings -> argmax region per
+caption word -> sigmoid scores -> teacher mask head on chosen boxes.
+"""
+
+from typing import Any, Dict, NamedTuple, Optional, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from ...ops.masks import crop_resize_from_box_frame_batch
+from ..backbone import ResNetBackbone
+from ..language.bert import WordEmbeddingBackbone
+from ..roi_heads.box_head import box_head_loss, postprocess_boxes, subsample_rois
+from ..roi_heads.bundle import RoIHeadsBundle
+from ..roi_heads.mask_head import mask_head_inference, mask_head_loss
+from ..rpn.anchors import anchor_visibility, build_anchors_for_levels
+from ..rpn.rpn import (
+    RPNHead,
+    flatten_rpn_outputs,
+    rpn_loss,
+    select_proposals_single_level,
+)
+from .generalized_rcnn import RCNNEvalOutput, RCNNTrainOutput
+from .statics import RCNNStatics, statics_from_cfg
+
+
+class STStatics(NamedTuple):
+    base: RCNNStatics = RCNNStatics()
+    lambda_pseudo_label: float = 0.1
+    uncertainty: bool = True
+    reweight: bool = True
+    no_pseudo_mask: bool = False
+    vocab_size: int = 30522
+    lvis_vocab: int = 1203
+    max_cap_nouns: int = 32
+    exemplars_enabled: bool = False
+
+
+def st_statics_from_cfg(cfg) -> STStatics:
+    return STStatics(
+        base=statics_from_cfg(cfg),
+        lambda_pseudo_label=cfg.MODEL.LAMBDA_PSEUDO_LABEL,
+        uncertainty=cfg.MODEL.UNCERTAINTY,
+        reweight=cfg.MODEL.REWEIGHT,
+        no_pseudo_mask=cfg.MODEL.NO_PSEUDO_MASK,
+        lvis_vocab=1203,
+        max_cap_nouns=cfg.TPU.MAX_CAP_NOUNS,
+    )
+
+
+def normalize_rows(x, eps=1e-12):
+    return x / jnp.maximum(
+        jnp.linalg.norm(x, axis=-1, keepdims=True), eps
+    )
+
+
+class STGeneralizedRCNN(nn.Module):
+    statics: STStatics
+
+    def setup(self):
+        s = self.statics.base
+        dtype = (
+            jnp.bfloat16 if s.compute_dtype == "bfloat16" else jnp.float32
+        )
+        self.backbone = ResNetBackbone(
+            depth=s.conv_body[:-3],
+            num_stages=4 if s.conv_body.endswith("-C5") else 3,
+            stem_out_channels=s.stem_out_channels,
+            res2_out_channels=s.res2_out_channels,
+            num_groups=s.num_groups,
+            width_per_group=s.width_per_group,
+            stride_in_1x1=s.stride_in_1x1,
+            dtype=dtype,
+        )
+        num_cell_anchors = len(s.aspect_ratios) * len(s.anchor_sizes)
+        self.rpn_head = RPNHead(
+            in_channels=s.backbone_out_channels,
+            num_anchors=num_cell_anchors,
+            dtype=dtype,
+        )
+        self.teacher = RoIHeadsBundle(s, uncertainty=False)
+        self.student = RoIHeadsBundle(s, uncertainty=self.statics.uncertainty)
+        self.bert = WordEmbeddingBackbone(
+            vocab_size=self.statics.vocab_size, hidden_size=s.emb_dim
+        )
+        # reference keeps a trainable scalar mixing exemplars into class
+        # embeddings (st_generalized_rcnn.py:52 lambda_exemplar)
+        self.lambda_exemplar = self.param(
+            "lambda_exemplar", nn.initializers.zeros, (1,)
+        )
+
+    # ------------------------------------------------------------------
+    def extract_word_embeddings(self, token_ids, token_mask):
+        """extract_emb (st_generalized_rcnn.py:202-209): mean of BERT
+        word embeddings over non-special wordpieces, L2-normalized.
+
+        token_ids [..., T]; token_mask [..., T] (1 = real wordpiece).
+        Returns [..., emb_dim]."""
+        emb = self.bert(token_ids)
+        m = token_mask.astype(jnp.float32)[..., None]
+        mean = jnp.sum(emb * m, axis=-2) / jnp.maximum(
+            jnp.sum(m, axis=-2), 1e-6
+        )
+        return normalize_rows(mean)
+
+    def combine_embs(self, embs, exemplar_embs=None, exemplar_valid=None):
+        """combine_embs (st_generalized_rcnn.py:164-177): optionally mix
+        exemplar embeddings scaled by lambda_exemplar, then row-normalize."""
+        if exemplar_embs is None:
+            return normalize_rows(embs)
+        mixed = embs + self.lambda_exemplar * exemplar_embs * (
+            exemplar_valid.astype(embs.dtype)[:, None]
+        )
+        return normalize_rows(mixed)
+
+    def _rpn_proposals(self, images, image_sizes, feats, train_selector):
+        s = self.statics.base
+        obj_l, reg_l = self.rpn_head(feats)
+        objectness, box_reg = flatten_rpn_outputs(obj_l, reg_l)
+        anchor_list = build_anchors_for_levels(
+            [f.shape[1:3] for f in feats],
+            s.anchor_stride,
+            s.anchor_sizes,
+            s.aspect_ratios,
+        )
+        anchors = jnp.concatenate(anchor_list, axis=0)
+        pre = s.rpn_pre_nms_train if train_selector else s.rpn_pre_nms_test
+        post = s.rpn_post_nms_train if train_selector else s.rpn_post_nms_test
+        proposals = select_proposals_single_level(
+            anchors,
+            objectness.astype(jnp.float32),
+            box_reg.astype(jnp.float32),
+            image_sizes,
+            pre,
+            post,
+            s.rpn_nms_thresh,
+            s.rpn_min_size,
+            s.nms_tile,
+        )
+        return anchors, objectness, box_reg, proposals
+
+    # ------------------------------------------------------------------
+    def generate_pseudo_labels(
+        self, feats, proposals, cap_tok_ids, cap_tok_mask, cap_word_valid
+    ):
+        """Teacher pseudo-label generation, fully on device.
+
+        cap_tok_ids [B, W, T] wordpiece ids per caption noun; cap_tok_mask
+        [B, W, T]; cap_word_valid [B, W].
+        Returns dict with pseudo boxes/labels/scores/embs/teacher masks."""
+        sb = self.statics.base
+        b, p = proposals.boxes.shape[:2]
+
+        x = self.teacher.extract(feats, proposals.boxes)
+        _, _, emb = self.teacher.box_outputs(
+            x, jnp.zeros((1, sb.emb_dim), jnp.float32)
+        )
+        emb = emb.astype(jnp.float32).reshape(b, p, -1)  # region embs
+
+        noun_embs = self.extract_word_embeddings(
+            cap_tok_ids, cap_tok_mask
+        )  # [B, W, d]
+
+        region_scores = jnp.einsum("bpd,bwd->bpw", emb, noun_embs)
+        region_scores = jnp.where(
+            proposals.valid[:, :, None], region_scores, -jnp.inf
+        )
+        aligned_scores = jnp.max(region_scores, axis=1)  # [B, W]
+        aligned_idx = jnp.argmax(region_scores, axis=1)  # [B, W]
+
+        take = lambda a: jnp.take_along_axis(
+            a, aligned_idx[..., None] if a.ndim == 3 else aligned_idx, axis=1
+        )
+        pseudo_boxes = take(proposals.boxes)  # [B, W, 4]
+        pseudo_embs = take(emb)  # [B, W, d]
+        scores = jax.nn.sigmoid(aligned_scores)
+        valid = cap_word_valid & jnp.isfinite(aligned_scores)
+
+        out = {
+            "boxes": pseudo_boxes,
+            "scores": scores,
+            "embs": pseudo_embs,
+            "valid": valid,
+        }
+        if sb.mask_on:
+            x2 = self.teacher.extract(feats, pseudo_boxes)
+            mask_logits, _ = self.teacher.mask_outputs(x2)
+            probs = mask_head_inference(
+                mask_logits.astype(jnp.float32),
+                jnp.ones((x2.shape[0],), jnp.int32),
+                sb.cls_agnostic_mask,
+            )
+            m2 = probs.shape[-1]
+            # binarize at 0.5, like Masker(threshold=0.5)
+            out["masks"] = (probs.reshape(b, -1, m2, m2) >= 0.5).astype(
+                jnp.float32
+            )
+        return jax.tree_util.tree_map(jax.lax.stop_gradient, out)
+
+    # ------------------------------------------------------------------
+    def _student_branch_losses(
+        self,
+        feats,
+        proposals,
+        gt_boxes,
+        gt_labels,
+        gt_valid,
+        gt_masks,
+        gt_mask_boxes,
+        class_embeddings,
+        image_mask,
+        compute_uncertain,
+        rng_name,
+    ):
+        """One student training branch (pseudo or GT): subsample, box and
+        mask losses, per-image masked."""
+        sb = self.statics.base
+        # exclude whole images not in this branch from sampling validity
+        pvalid = proposals.valid & image_mask[:, None]
+        gvalid = gt_valid & image_mask[:, None]
+        all_boxes = jnp.concatenate([proposals.boxes, gt_boxes], axis=1)
+        all_valid = jnp.concatenate([pvalid, gvalid], axis=1)
+        sampled = subsample_rois(
+            all_boxes,
+            all_valid,
+            gt_boxes,
+            gt_labels,
+            gvalid,
+            self.make_rng(rng_name),
+            sb.roi_batch_per_image,
+            sb.roi_positive_fraction,
+            sb.roi_fg_iou,
+            sb.roi_bg_iou,
+            sb.reg_weights,
+        )
+        # zero out rois of images outside the branch
+        sampled = sampled._replace(
+            valid=sampled.valid & image_mask[:, None],
+            is_pos=sampled.is_pos & image_mask[:, None],
+        )
+        x = self.student.extract(feats, sampled.boxes)
+        logits, deltas, _ = self.student.box_outputs(x, class_embeddings)
+        cls_loss, box_loss = box_head_loss(
+            logits.astype(jnp.float32),
+            deltas.astype(jnp.float32),
+            sampled,
+            bg_weight=sb.bg_weight,
+            cls_agnostic_bbox_reg=sb.cls_agnostic_bbox_reg,
+        )
+        mask_loss = jnp.zeros(())
+        avg_uncertain = jnp.ones(())
+        if sb.mask_on:
+            mask_logits, scale = self.student.mask_outputs(
+                x, compute_uncertain=compute_uncertain, train=True
+            )
+            mask_loss = mask_head_loss(
+                mask_logits.astype(jnp.float32),
+                sampled,
+                gt_masks,
+                gt_mask_boxes,
+                cls_agnostic_mask=sb.cls_agnostic_mask,
+            )
+            if scale is not None:
+                pos = (sampled.is_pos & sampled.valid).reshape(-1)
+                avg_uncertain = jnp.sum(
+                    jnp.mean(scale[..., 0].astype(jnp.float32), axis=(1, 2))
+                    * pos.astype(jnp.float32)
+                ) / jnp.maximum(jnp.sum(pos), 1.0)
+        return cls_loss, box_loss, mask_loss, avg_uncertain
+
+    # ------------------------------------------------------------------
+    def __call__(
+        self,
+        images: jnp.ndarray,
+        image_sizes: jnp.ndarray,
+        batch: Dict[str, jnp.ndarray],
+        class_embeddings: Optional[jnp.ndarray] = None,
+        lvis_class_embeddings: Optional[jnp.ndarray] = None,
+        train: bool = False,
+    ):
+        s = self.statics
+        sb = s.base
+        feats = self.backbone(images)
+        feats = [jax.lax.stop_gradient(f) for f in feats]  # frozen backbone
+
+        if not train:
+            return self.forward_eval(
+                feats, image_sizes, class_embeddings
+            )
+
+        losses: Dict[str, jnp.ndarray] = {}
+        info: Dict[str, jnp.ndarray] = {}
+
+        cap_mask = batch["cap_mask"]  # [B] bool: nn_caption != ''
+        det_mask = batch["det_mask"]  # [B] bool: is_det == 'Yes'
+
+        # ---- caption branch: teacher pseudo-labels -> student --------
+        _, _, _, eval_proposals = self._rpn_proposals(
+            images, image_sizes, feats, train_selector=False
+        )
+        pseudo = self.generate_pseudo_labels(
+            feats,
+            eval_proposals,
+            batch["cap_tok_ids"],
+            batch["cap_tok_mask"],
+            batch["cap_word_valid"],
+        )
+        student_cap_embs = self.combine_embs(lvis_class_embeddings)
+        cls_p, box_p, mask_p, avg_unc = self._student_branch_losses(
+            feats,
+            eval_proposals,
+            pseudo["boxes"],
+            batch["cap_labels"],  # 0-based LVIS category ids
+            pseudo["valid"],
+            pseudo.get("masks", jnp.zeros((images.shape[0], 1, 1, 1))),
+            pseudo["boxes"],
+            student_cap_embs,
+            cap_mask,
+            compute_uncertain=s.uncertainty,
+            rng_name="sampler",
+        )
+        info["avg_uncertain"] = avg_unc
+        if s.uncertainty and s.reweight:
+            # adaptive lambda 0.01 / avg_uncertain, detached
+            # (st_generalized_rcnn.py:336-341); mask loss unweighted
+            lam = 0.01 / jax.lax.stop_gradient(avg_unc)
+            info["adaptive_lamb"] = lam
+            losses["loss_classifier_pseudo"] = cls_p * lam
+            losses["loss_box_reg_pseudo"] = box_p * lam
+            losses["loss_mask_pseudo"] = mask_p
+        else:
+            lam = s.lambda_pseudo_label
+            losses["loss_classifier_pseudo"] = cls_p * lam
+            losses["loss_box_reg_pseudo"] = box_p * lam
+            losses["loss_mask_pseudo"] = mask_p * lam
+        if s.no_pseudo_mask:
+            losses["loss_mask_pseudo"] = losses["loss_mask_pseudo"] * 0.0
+
+        # ---- detection branch: GT supervision -------------------------
+        _, _, _, train_proposals = self._rpn_proposals(
+            images, image_sizes, feats, train_selector=True
+        )
+        student_det_embs = self.combine_embs(class_embeddings)
+        cls_g, box_g, mask_g, _ = self._student_branch_losses(
+            feats,
+            train_proposals,
+            batch["gt_boxes"],
+            batch["gt_labels"],
+            batch["gt_valid"],
+            batch["gt_masks"],
+            batch["gt_boxes"],
+            student_det_embs,
+            det_mask,
+            compute_uncertain=False,
+            rng_name="sampler",
+        )
+        losses["loss_classifier"] = cls_g
+        losses["loss_box_reg"] = box_g
+        losses["loss_mask"] = mask_g
+        return RCNNTrainOutput(losses, info)
+
+    def forward_eval(self, feats, image_sizes, class_embeddings):
+        """Eval: student heads with the teacher's (dataset) vocabulary
+        (st_generalized_rcnn.py:409-418)."""
+        sb = self.statics.base
+        # proposals with test-time caps
+        obj_l, reg_l = self.rpn_head(feats)
+        objectness, box_reg = flatten_rpn_outputs(obj_l, reg_l)
+        anchor_list = build_anchors_for_levels(
+            [f.shape[1:3] for f in feats],
+            sb.anchor_stride,
+            sb.anchor_sizes,
+            sb.aspect_ratios,
+        )
+        anchors = jnp.concatenate(anchor_list, axis=0)
+        proposals = select_proposals_single_level(
+            anchors,
+            objectness.astype(jnp.float32),
+            box_reg.astype(jnp.float32),
+            image_sizes,
+            sb.rpn_pre_nms_test,
+            sb.rpn_post_nms_test,
+            sb.rpn_nms_thresh,
+            sb.rpn_min_size,
+            sb.nms_tile,
+        )
+        embs = self.combine_embs(class_embeddings)
+        x = self.student.extract(feats, proposals.boxes)
+        logits, deltas, _ = self.student.box_outputs(x, embs)
+        b, p = proposals.boxes.shape[:2]
+        dets = postprocess_boxes(
+            logits.astype(jnp.float32).reshape(b, p, -1),
+            deltas.astype(jnp.float32).reshape(b, p, -1),
+            proposals.boxes,
+            proposals.valid,
+            image_sizes,
+            sb.score_thresh,
+            sb.nms_thresh,
+            sb.detections_per_img,
+            pre_nms_candidates=min(
+                10 * sb.detections_per_img, p * max(logits.shape[-1] - 1, 1)
+            ),
+            reg_weights=sb.reg_weights,
+            cls_agnostic_bbox_reg=sb.cls_agnostic_bbox_reg,
+            nms_tile=sb.nms_tile,
+        )
+        mask_probs = None
+        if sb.mask_on:
+            x2 = self.student.extract(feats, dets.boxes)
+            mask_logits, _ = self.student.mask_outputs(x2)
+            probs = mask_head_inference(
+                mask_logits.astype(jnp.float32),
+                dets.labels.reshape(-1),
+                sb.cls_agnostic_mask,
+            )
+            m2 = probs.shape[-1]
+            mask_probs = probs.reshape(b, -1, m2, m2)
+        return RCNNEvalOutput(dets, mask_probs)

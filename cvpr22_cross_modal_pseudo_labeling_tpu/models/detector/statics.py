@@ -1,0 +1,123 @@
+"""Frozen static configuration extracted from the CfgNode for module
+construction.  linen module attributes must be immutable/hashable; this
+NamedTuple is the bridge between the yacs-style config tree and the
+compiled program's static parameters."""
+
+from typing import NamedTuple, Tuple
+
+
+class RCNNStatics(NamedTuple):
+    # backbone
+    conv_body: str = "R-50-C4"
+    stem_out_channels: int = 64
+    res2_out_channels: int = 256
+    num_groups: int = 1
+    width_per_group: int = 64
+    stride_in_1x1: bool = True
+    res5_dilation: int = 1
+    backbone_out_channels: int = 1024
+    feature_strides: Tuple[int, ...] = (16,)
+    # rpn
+    anchor_sizes: Tuple[float, ...] = (32, 64, 128, 256, 512)
+    anchor_stride: Tuple[int, ...] = (16,)
+    aspect_ratios: Tuple[float, ...] = (0.5, 1.0, 2.0)
+    straddle_thresh: float = 0.0
+    rpn_fg_iou: float = 0.7
+    rpn_bg_iou: float = 0.3
+    rpn_batch_per_image: int = 256
+    rpn_positive_fraction: float = 0.5
+    rpn_pre_nms_train: int = 12000
+    rpn_pre_nms_test: int = 6000
+    rpn_post_nms_train: int = 2000
+    rpn_post_nms_test: int = 1000
+    rpn_nms_thresh: float = 0.7
+    rpn_min_size: float = 0.0
+    rpn_dont_train: bool = False
+    rpn_only: bool = False
+    # roi heads
+    roi_fg_iou: float = 0.5
+    roi_bg_iou: float = 0.5
+    roi_batch_per_image: int = 512
+    roi_positive_fraction: float = 0.25
+    reg_weights: Tuple[float, float, float, float] = (10.0, 10.0, 5.0, 5.0)
+    score_thresh: float = 0.05
+    nms_thresh: float = 0.5
+    detections_per_img: int = 100
+    # box head
+    embedding_based: bool = True
+    emb_dim: int = 768
+    num_classes: int = 81
+    cls_agnostic_bbox_reg: bool = True
+    bg_weight: float = 1.0
+    pooler_resolution: int = 14
+    pooler_scales: Tuple[float, ...] = (1.0 / 16,)
+    pooler_sampling_ratio: int = 0
+    # mask head
+    mask_on: bool = True
+    mask_resolution: int = 14
+    cls_agnostic_mask: bool = True
+    uncertainty: bool = False
+    mask_dim_reduced: int = 256
+    # caps
+    max_gt: int = 100
+    nms_tile: int = 256
+    # dtype name ("float32" | "bfloat16")
+    compute_dtype: str = "float32"
+
+
+def statics_from_cfg(cfg) -> RCNNStatics:
+    m = cfg.MODEL
+    return RCNNStatics(
+        conv_body=m.BACKBONE.CONV_BODY,
+        stem_out_channels=m.RESNETS.STEM_OUT_CHANNELS,
+        res2_out_channels=m.RESNETS.RES2_OUT_CHANNELS,
+        num_groups=m.RESNETS.NUM_GROUPS,
+        width_per_group=m.RESNETS.WIDTH_PER_GROUP,
+        stride_in_1x1=m.RESNETS.STRIDE_IN_1X1,
+        res5_dilation=m.RESNETS.RES5_DILATION,
+        backbone_out_channels=(
+            m.RESNETS.RES2_OUT_CHANNELS * 4
+            if m.BACKBONE.CONV_BODY.endswith("-C4")
+            else m.RESNETS.BACKBONE_OUT_CHANNELS
+        ),
+        anchor_sizes=tuple(m.RPN.ANCHOR_SIZES),
+        anchor_stride=tuple(m.RPN.ANCHOR_STRIDE),
+        aspect_ratios=tuple(m.RPN.ASPECT_RATIOS),
+        straddle_thresh=float(m.RPN.STRADDLE_THRESH),
+        rpn_fg_iou=m.RPN.FG_IOU_THRESHOLD,
+        rpn_bg_iou=m.RPN.BG_IOU_THRESHOLD,
+        rpn_batch_per_image=m.RPN.BATCH_SIZE_PER_IMAGE,
+        rpn_positive_fraction=m.RPN.POSITIVE_FRACTION,
+        rpn_pre_nms_train=m.RPN.PRE_NMS_TOP_N_TRAIN,
+        rpn_pre_nms_test=m.RPN.PRE_NMS_TOP_N_TEST,
+        rpn_post_nms_train=m.RPN.POST_NMS_TOP_N_TRAIN,
+        rpn_post_nms_test=m.RPN.POST_NMS_TOP_N_TEST,
+        rpn_nms_thresh=m.RPN.NMS_THRESH,
+        rpn_min_size=float(m.RPN.MIN_SIZE),
+        rpn_dont_train=m.RPN.DONT_TRAIN,
+        rpn_only=m.RPN_ONLY,
+        roi_fg_iou=m.ROI_HEADS.FG_IOU_THRESHOLD,
+        roi_bg_iou=m.ROI_HEADS.BG_IOU_THRESHOLD,
+        roi_batch_per_image=m.ROI_HEADS.BATCH_SIZE_PER_IMAGE,
+        roi_positive_fraction=m.ROI_HEADS.POSITIVE_FRACTION,
+        reg_weights=tuple(m.ROI_HEADS.BBOX_REG_WEIGHTS),
+        score_thresh=m.ROI_HEADS.SCORE_THRESH,
+        nms_thresh=m.ROI_HEADS.NMS,
+        detections_per_img=m.ROI_HEADS.DETECTIONS_PER_IMG,
+        embedding_based=m.ROI_BOX_HEAD.EMBEDDING_BASED,
+        emb_dim=m.ROI_BOX_HEAD.EMB_DIM,
+        num_classes=m.ROI_BOX_HEAD.NUM_CLASSES,
+        cls_agnostic_bbox_reg=m.CLS_AGNOSTIC_BBOX_REG,
+        bg_weight=m.ROI_BOX_HEAD.LOSS_WEIGHT_BACKGROUND,
+        pooler_resolution=m.ROI_BOX_HEAD.POOLER_RESOLUTION,
+        pooler_scales=tuple(m.ROI_BOX_HEAD.POOLER_SCALES),
+        pooler_sampling_ratio=m.ROI_BOX_HEAD.POOLER_SAMPLING_RATIO,
+        mask_on=m.MASK_ON,
+        mask_resolution=m.ROI_MASK_HEAD.RESOLUTION,
+        cls_agnostic_mask=m.CLS_AGNOSTIC_MASK,
+        uncertainty=m.UNCERTAINTY,
+        mask_dim_reduced=m.ROI_MASK_HEAD.CONV_LAYERS[-1],
+        max_gt=cfg.TPU.MAX_GT,
+        nms_tile=cfg.TPU.NMS_TILE,
+        compute_dtype=cfg.TPU.COMPUTE_DTYPE,
+    )

@@ -1,0 +1,256 @@
+"""ResNet backbone with frozen BatchNorm, NHWC, Flax linen.
+
+Re-design of the reference's cfg-driven ResNet
+(reference: maskrcnn_benchmark/modeling/backbone/resnet.py:81-451) for
+TPU: channels-last layout, bfloat16-friendly compute dtype, functional
+freezing (the optimizer masks frozen stages; see engine/optimizer.py)
+instead of ``requires_grad`` mutation (resnet.py:134-143).
+
+FrozenBatchNorm matches layers/batch_norm.py:6-25 exactly:
+``scale = weight / sqrt(running_var)`` with **no epsilon** (Caffe2
+imports fold it in), ``bias = bias - running_mean * scale``.  Its
+tensors live in the ``params`` collection (so checkpoint import is one
+tree) but are excluded from optimization by path ("frozen_bn").
+"""
+
+from typing import Any, Dict, Sequence, Tuple
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+# (stage block counts, include_stage5) per CONV_BODY
+# (reference resnet.py:46-79 _STAGE_SPECS)
+RESNET_STAGES = {
+    "R-50": (3, 4, 6, 3),
+    "R-101": (3, 4, 23, 3),
+    "R-152": (3, 8, 36, 3),
+}
+
+
+class FrozenBatchNorm(nn.Module):
+    """Affine transform with frozen statistics (layers/batch_norm.py)."""
+
+    features: int
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        init = nn.initializers.ones
+        zinit = nn.initializers.zeros
+        weight = self.param("frozen_bn_weight", init, (self.features,))
+        bias = self.param("frozen_bn_bias", zinit, (self.features,))
+        mean = self.param("frozen_bn_mean", zinit, (self.features,))
+        var = self.param("frozen_bn_var", init, (self.features,))
+        scale = weight / jnp.sqrt(var)
+        shift = bias - mean * scale
+        return x * scale.astype(self.dtype) + shift.astype(self.dtype)
+
+
+def _conv(features, kernel, stride=1, dilation=1, name=None, use_bias=False,
+          dtype=jnp.float32):
+    pad = dilation * (kernel - 1) // 2
+    return nn.Conv(
+        features,
+        (kernel, kernel),
+        strides=(stride, stride),
+        padding=((pad, pad), (pad, pad)),
+        kernel_dilation=(dilation, dilation),
+        use_bias=use_bias,
+        dtype=dtype,
+        name=name,
+    )
+
+
+class Bottleneck(nn.Module):
+    """BottleneckWithFixedBatchNorm (resnet.py:240-300)."""
+
+    in_channels: int
+    bottleneck_channels: int
+    out_channels: int
+    stride: int = 1
+    dilation: int = 1
+    stride_in_1x1: bool = True
+    num_groups: int = 1
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        s1, s3 = (
+            (self.stride, 1) if self.stride_in_1x1 else (1, self.stride)
+        )
+        identity = x
+        if self.in_channels != self.out_channels or self.stride != 1:
+            down_stride = self.stride if self.dilation == 1 else 1
+            identity = _conv(
+                self.out_channels, 1, down_stride, name="downsample_conv",
+                dtype=self.dtype,
+            )(x)
+            identity = FrozenBatchNorm(
+                self.out_channels, self.dtype, name="downsample_bn"
+            )(identity)
+
+        out = _conv(self.bottleneck_channels, 1, s1, name="conv1",
+                    dtype=self.dtype)(x)
+        out = FrozenBatchNorm(self.bottleneck_channels, self.dtype,
+                              name="bn1")(out)
+        out = nn.relu(out)
+        out = nn.Conv(
+            self.bottleneck_channels,
+            (3, 3),
+            strides=(s3, s3),
+            padding=((self.dilation, self.dilation),) * 2,
+            kernel_dilation=(self.dilation, self.dilation),
+            feature_group_count=self.num_groups,
+            use_bias=False,
+            dtype=self.dtype,
+            name="conv2",
+        )(out)
+        out = FrozenBatchNorm(self.bottleneck_channels, self.dtype,
+                              name="bn2")(out)
+        out = nn.relu(out)
+        out = _conv(self.out_channels, 1, 1, name="conv3", dtype=self.dtype)(out)
+        out = FrozenBatchNorm(self.out_channels, self.dtype, name="bn3")(out)
+        return nn.relu(out + identity)
+
+
+class Stem(nn.Module):
+    """StemWithFixedBatchNorm (resnet.py:383-404): 7x7/2 conv + frozen BN
+    + relu + 3x3/2 maxpool."""
+
+    out_channels: int = 64
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        x = nn.Conv(
+            self.out_channels,
+            (7, 7),
+            strides=(2, 2),
+            padding=((3, 3), (3, 3)),
+            use_bias=False,
+            dtype=self.dtype,
+            name="conv1",
+        )(x)
+        x = FrozenBatchNorm(self.out_channels, self.dtype, name="bn1")(x)
+        x = nn.relu(x)
+        x = nn.max_pool(
+            x, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1))
+        )
+        return x
+
+
+class ResNetStage(nn.Module):
+    """_make_stage (resnet.py:202-237): block_count bottlenecks, stride on
+    the first."""
+
+    block_count: int
+    in_channels: int
+    bottleneck_channels: int
+    out_channels: int
+    first_stride: int
+    dilation: int = 1
+    stride_in_1x1: bool = True
+    num_groups: int = 1
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        in_ch = self.in_channels
+        stride = self.first_stride
+        for i in range(self.block_count):
+            x = Bottleneck(
+                in_channels=in_ch,
+                bottleneck_channels=self.bottleneck_channels,
+                out_channels=self.out_channels,
+                stride=stride,
+                dilation=self.dilation,
+                stride_in_1x1=self.stride_in_1x1,
+                num_groups=self.num_groups,
+                dtype=self.dtype,
+                name=f"block{i}",
+            )(x)
+            in_ch = self.out_channels
+            stride = 1
+        return x
+
+
+class ResNet(nn.Module):
+    """Backbone body.  ``stages`` counts blocks for stages 2..N; returns
+    the feature maps named in ``return_stages`` (e.g. ("C4",) for the
+    detection configs, ("C2","C3","C4","C5") for FPN).
+
+    reference: resnet.py:81-152 (cfg plumbing), stage math identical.
+    """
+
+    stages: Sequence[int]
+    return_stages: Sequence[str]
+    stem_out_channels: int = 64
+    res2_out_channels: int = 256
+    num_groups: int = 1
+    width_per_group: int = 64
+    stride_in_1x1: bool = True
+    res5_dilation: int = 1
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x) -> Dict[str, jnp.ndarray]:
+        x = Stem(self.stem_out_channels, self.dtype, name="stem")(x)
+        out = {}
+        in_ch = self.stem_out_channels
+        stage2_bottleneck = self.num_groups * self.width_per_group
+        for idx, block_count in enumerate(self.stages):
+            stage_num = idx + 2  # C2..C5
+            factor = 2**idx
+            out_ch = self.res2_out_channels * factor
+            bottleneck = stage2_bottleneck * factor
+            dilation = (
+                self.res5_dilation if stage_num == 5 else 1
+            )
+            first_stride = 1 if stage_num == 2 or dilation > 1 else 2
+            x = ResNetStage(
+                block_count=block_count,
+                in_channels=in_ch,
+                bottleneck_channels=bottleneck,
+                out_channels=out_ch,
+                first_stride=first_stride,
+                dilation=dilation,
+                stride_in_1x1=self.stride_in_1x1,
+                num_groups=self.num_groups,
+                dtype=self.dtype,
+                name=f"layer{stage_num - 1}",
+            )(x)
+            in_ch = out_ch
+            out[f"C{stage_num}"] = x
+        return {k: out[k] for k in self.return_stages}
+
+
+class ResNetRoIHead(nn.Module):
+    """ResNetHead (resnet.py:155-199): the C5 stage applied to pooled
+    RoI features (ResNet50Conv5ROIFeatureExtractor,
+    roi_box_feature_extractors.py:13-46).  stride_init=None -> first
+    stride 2 (stage index 4 > 1)."""
+
+    block_count: int = 3
+    in_channels: int = 1024
+    out_channels: int = 2048
+    num_groups: int = 1
+    width_per_group: int = 64
+    stride_in_1x1: bool = True
+    dilation: int = 1
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        bottleneck = self.num_groups * self.width_per_group * 8
+        first_stride = 2 if self.dilation == 1 else 1
+        return ResNetStage(
+            block_count=self.block_count,
+            in_channels=self.in_channels,
+            bottleneck_channels=bottleneck,
+            out_channels=self.out_channels,
+            first_stride=first_stride,
+            dilation=self.dilation,
+            stride_in_1x1=self.stride_in_1x1,
+            dtype=self.dtype,
+            name="layer4",
+        )(x)

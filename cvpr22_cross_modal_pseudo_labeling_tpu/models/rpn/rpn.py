@@ -1,0 +1,177 @@
+"""Region Proposal Network: head, loss, and proposal selection.
+
+TPU re-design of reference modeling/rpn/{rpn,loss,inference}.py:
+  * head — SingleConvRPNHead (rpn.py:73-106), NHWC.
+  * loss — matcher 0.7/0.3 with low-quality recovery, 256 anchors/image
+    at 0.5 positive fraction, BCE objectness + smooth-L1 (beta=1/9)
+    normalized by total sampled (loss.py:21-157).  Sampling is
+    mask-based: no gathers, the losses are masked reductions.
+  * proposal selection — per-level top-k, decode, clip, min-size filter,
+    NMS, per-image top post_nms_n (inference.py:76-152).  The reference's
+    per-image Python loop becomes vmap; everything is static-shape.
+"""
+
+from typing import Any, List, NamedTuple, Sequence, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from ...core.box_coder import decode_boxes, encode_boxes
+from ...core.boxes import clip_to_image, nonempty_mask
+from ...core.matcher import match_boxes
+from ...core.sampler import balanced_sample_masks
+from ...ops.losses import binary_cross_entropy_with_logits, smooth_l1_loss
+from ...ops.nms import nms
+
+
+class RPNHead(nn.Module):
+    """SingleConvRPNHead (rpn.py:73-106): shared 3x3 conv + 1x1 cls /
+    1x1 reg heads, applied to each FPN level."""
+
+    in_channels: int
+    num_anchors: int
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, features: Sequence[jnp.ndarray]):
+        conv = nn.Conv(
+            self.in_channels, (3, 3), padding=((1, 1), (1, 1)),
+            kernel_init=nn.initializers.normal(0.01), dtype=self.dtype,
+            name="conv",
+        )
+        cls_logits = nn.Conv(
+            self.num_anchors, (1, 1),
+            kernel_init=nn.initializers.normal(0.01), dtype=self.dtype,
+            name="cls_logits",
+        )
+        bbox_pred = nn.Conv(
+            self.num_anchors * 4, (1, 1),
+            kernel_init=nn.initializers.normal(0.01), dtype=self.dtype,
+            name="bbox_pred",
+        )
+        objectness, box_reg = [], []
+        for f in features:
+            t = nn.relu(conv(f))
+            objectness.append(cls_logits(t))
+            box_reg.append(bbox_pred(t))
+        return objectness, box_reg
+
+
+def flatten_rpn_outputs(objectness, box_regression):
+    """[B,H,W,A] / [B,H,W,4A] per level -> concatenated [B,N] / [B,N,4]
+    in (level, y, x, a) order — the same order as the anchor arrays."""
+    b = objectness[0].shape[0]
+    objs = [o.reshape(b, -1) for o in objectness]
+    regs = [r.reshape(b, -1, 4) for r in box_regression]
+    return jnp.concatenate(objs, axis=1), jnp.concatenate(regs, axis=1)
+
+
+class RPNProposals(NamedTuple):
+    boxes: jnp.ndarray  # [B, P, 4]
+    scores: jnp.ndarray  # [B, P] objectness (sigmoid at selection score)
+    valid: jnp.ndarray  # [B, P] bool
+
+
+def select_proposals_single_level(
+    anchors: jnp.ndarray,
+    objectness: jnp.ndarray,
+    box_regression: jnp.ndarray,
+    image_sizes: jnp.ndarray,
+    pre_nms_top_n: int,
+    post_nms_top_n: int,
+    nms_thresh: float,
+    min_size: float,
+    nms_tile: int = 256,
+) -> RPNProposals:
+    """One level's proposal selection, batched over images.
+
+    anchors [N,4]; objectness [B,N] raw logits; box_regression [B,N,4].
+    """
+    n = anchors.shape[0]
+    k = min(pre_nms_top_n, n)
+
+    def per_image(obj, reg, img_size):
+        topv, topi = jax.lax.top_k(obj, k)
+        sel_anchors = anchors[topi]
+        sel_reg = reg[topi]
+        boxes = decode_boxes(sel_reg, sel_anchors, (1.0, 1.0, 1.0, 1.0))
+        boxes = clip_to_image(boxes, img_size)
+        keep = nonempty_mask(boxes, min_size)
+        scores = jax.nn.sigmoid(topv)
+        idx, keep_valid = nms(
+            boxes, scores, keep, nms_thresh, post_nms_top_n, nms_tile
+        )
+        return RPNProposals(
+            boxes=boxes[idx], scores=scores[idx], valid=keep_valid
+        )
+
+    out = jax.vmap(per_image)(objectness, box_regression, image_sizes)
+    # Proposal selection runs under no_grad in the reference
+    # (rpn/inference.py forward wraps box selection in torch.no_grad());
+    # cutting the gradient here also keeps decode/NMS out of autodiff.
+    return jax.tree_util.tree_map(jax.lax.stop_gradient, out)
+
+
+def rpn_loss(
+    anchors: jnp.ndarray,
+    visibility: jnp.ndarray,
+    objectness: jnp.ndarray,
+    box_regression: jnp.ndarray,
+    gt_boxes: jnp.ndarray,
+    gt_valid: jnp.ndarray,
+    key: jax.Array,
+    fg_iou_threshold: float = 0.7,
+    bg_iou_threshold: float = 0.3,
+    batch_size_per_image: int = 256,
+    positive_fraction: float = 0.5,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Batched RPN losses (loss.py:92-157).
+
+    anchors [N,4]; visibility [B,N]; objectness [B,N]; box_regression
+    [B,N,4]; gt_boxes [B,G,4]; gt_valid [B,G].
+    Returns (objectness_loss, box_loss) scalars.
+    """
+    from ...core.boxes import box_iou
+
+    b = objectness.shape[0]
+    keys = jax.random.split(key, b)
+
+    def per_image(obj, reg, gts, gtv, vis, k):
+        quality = box_iou(gts, anchors)  # [G, N]
+        matched = match_boxes(
+            quality, gtv, fg_iou_threshold, bg_iou_threshold,
+            allow_low_quality_matches=True,
+        )
+        pos = matched >= 0
+        neg = matched == -1  # BELOW_LOW
+        # discard invisible anchors (loss.py discard_anchors)
+        pos = pos & vis
+        neg = neg & vis
+        spos, sneg = balanced_sample_masks(
+            pos, neg, k, batch_size_per_image, positive_fraction
+        )
+        sampled = spos | sneg
+        labels = pos.astype(jnp.float32)
+
+        reg_targets = encode_boxes(
+            gts[jnp.clip(matched, 0)], anchors, (1.0, 1.0, 1.0, 1.0)
+        )
+
+        obj_loss_sum = jnp.sum(
+            binary_cross_entropy_with_logits(obj, labels)
+            * sampled.astype(obj.dtype)
+        )
+        box_loss_sum = jnp.sum(
+            smooth_l1_loss(reg, reg_targets, beta=1.0 / 9)
+            * spos.astype(reg.dtype)[:, None]
+        )
+        n_sampled = jnp.sum(sampled.astype(jnp.float32))
+        return obj_loss_sum, box_loss_sum, n_sampled
+
+    obj_sums, box_sums, counts = jax.vmap(per_image)(
+        objectness, box_regression, gt_boxes, gt_valid, visibility, keys
+    )
+    total = jnp.maximum(jnp.sum(counts), 1.0)
+    # reference: objectness mean over sampled; box sum / #sampled
+    return jnp.sum(obj_sums) / total, jnp.sum(box_sums) / total

@@ -89,13 +89,17 @@ def roi_align(
     if sampling_ratio > 0:
         grid_h = jnp.full((R,), sampling_ratio, jnp.int32)
         grid_w = jnp.full((R,), sampling_ratio, jnp.int32)
-        s_cap = sampling_ratio
+        s_cap_h = s_cap_w = sampling_ratio
     else:
+        # A clipped roi spans at most the feature map, so the adaptive
+        # grid can never exceed ceil(feature_extent / bins): tighten the
+        # static cap per axis (shrinks the unrolled sample loop).
+        s_cap_h = min(max_samples, -(-H // P))
+        s_cap_w = min(max_samples, -(-W // Q))
         grid_h = jnp.ceil(roi_h / P).astype(jnp.int32)
         grid_w = jnp.ceil(roi_w / Q).astype(jnp.int32)
-        grid_h = jnp.clip(grid_h, 1, max_samples)
-        grid_w = jnp.clip(grid_w, 1, max_samples)
-        s_cap = max_samples
+        grid_h = jnp.clip(grid_h, 1, s_cap_h)
+        grid_w = jnp.clip(grid_w, 1, s_cap_w)
     count = (grid_h * grid_w).astype(dtype)
 
     ph = jnp.arange(P, dtype=dtype)
@@ -105,7 +109,7 @@ def roi_align(
         (b_i, s_h, s_w, bn_h, bn_w, g_h, g_w, cnt) = chunk
         r = b_i.shape[0]
         acc = jnp.zeros((r, P, Q, C), dtype)
-        for iy in range(s_cap):
+        for iy in range(s_cap_h):
             # y sample position: start + ph*bin + (iy+.5)*bin/grid
             y = (
                 s_h[:, None]
@@ -114,7 +118,7 @@ def roi_align(
             )  # [r, P]
             y_lo, y_hi, wy_lo, wy_hi, y_in = _bilinear_weights(y, H)
             y_mask = y_in & (iy < g_h[:, None])  # [r, P]
-            for ix in range(s_cap):
+            for ix in range(s_cap_w):
                 x = (
                     s_w[:, None]
                     + pw[None, :] * bn_w[:, None]
