@@ -1,0 +1,141 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from cvpr22_cross_modal_pseudo_labeling_tpu.config import get_default_cfg
+from cvpr22_cross_modal_pseudo_labeling_tpu.models.detector.st_generalized_rcnn import (
+    STGeneralizedRCNN,
+    st_statics_from_cfg,
+)
+
+
+def st_tiny_cfg():
+    cfg = get_default_cfg()
+    cfg.MODEL.META_ARCHITECTURE = "STGeneralizedRCNN"
+    cfg.MODEL.MASK_ON = True
+    cfg.MODEL.CLS_AGNOSTIC_BBOX_REG = True
+    cfg.MODEL.CLS_AGNOSTIC_MASK = True
+    cfg.MODEL.UNCERTAINTY = True
+    cfg.MODEL.LAMBDA_PSEUDO_LABEL = 0.1
+    cfg.MODEL.RPN.DONT_TRAIN = True
+    cfg.MODEL.ROI_BOX_HEAD.EMBEDDING_BASED = True
+    cfg.MODEL.ROI_BOX_HEAD.EMB_DIM = 16
+    cfg.MODEL.ROI_HEADS.POSITIVE_FRACTION = 1.0
+    cfg.MODEL.ROI_HEADS.BATCH_SIZE_PER_IMAGE = 16
+    cfg.MODEL.ROI_HEADS.DETECTIONS_PER_IMG = 8
+    cfg.MODEL.RPN.PRE_NMS_TOP_N_TRAIN = 64
+    cfg.MODEL.RPN.PRE_NMS_TOP_N_TEST = 64
+    cfg.MODEL.RPN.POST_NMS_TOP_N_TRAIN = 16
+    cfg.MODEL.RPN.POST_NMS_TOP_N_TEST = 16
+    cfg.TPU.MAX_GT = 4
+    cfg.TPU.MAX_CAP_NOUNS = 3
+    cfg.TPU.NMS_TILE = 64
+    return cfg
+
+
+@pytest.fixture(scope="module")
+def st_setup():
+    cfg = st_tiny_cfg()
+    statics = st_statics_from_cfg(cfg)._replace(
+        vocab_size=64, lvis_vocab=20
+    )
+    model = STGeneralizedRCNN(statics)
+    b, nw, t = 2, 3, 4
+    images = jnp.zeros((b, 64, 64, 3))
+    image_sizes = jnp.array([[64, 64], [48, 64]], jnp.int32)
+    rng = np.random.RandomState(0)
+    batch = {
+        "cap_mask": jnp.array([True, False]),
+        "det_mask": jnp.array([True, True]),
+        "cap_tok_ids": jnp.asarray(rng.randint(5, 64, (b, nw, t)), jnp.int32),
+        "cap_tok_mask": jnp.ones((b, nw, t), jnp.int32),
+        "cap_word_valid": jnp.array([[True, True, False], [False] * 3]),
+        "cap_labels": jnp.asarray(rng.randint(0, 20, (b, nw)), jnp.int32),
+        "gt_boxes": jnp.tile(
+            jnp.array([[4.0, 4.0, 30.0, 30.0]]), (b, 4, 1)
+        ),
+        "gt_labels": jnp.ones((b, 4), jnp.int32),
+        "gt_valid": jnp.tile(jnp.array([[True, True, False, False]]), (b, 1)),
+        "gt_masks": jnp.ones((b, 4, 28, 28)),
+    }
+    class_emb = jnp.asarray(rng.randn(8, 16), jnp.float32)
+    lvis_emb = jnp.asarray(rng.randn(20, 16), jnp.float32)
+    rngs = {
+        "params": jax.random.PRNGKey(0),
+        "sampler": jax.random.PRNGKey(1),
+        "uncertainty": jax.random.PRNGKey(2),
+    }
+    params = model.init(
+        rngs, images, image_sizes, batch, class_emb, lvis_emb, train=True
+    )
+    return model, params, images, image_sizes, batch, class_emb, lvis_emb
+
+
+def test_st_train_losses(st_setup):
+    model, params, images, image_sizes, batch, class_emb, lvis_emb = st_setup
+    out = model.apply(
+        params,
+        images,
+        image_sizes,
+        batch,
+        class_emb,
+        lvis_emb,
+        train=True,
+        rngs={
+            "sampler": jax.random.PRNGKey(3),
+            "uncertainty": jax.random.PRNGKey(4),
+        },
+    )
+    expected = {
+        "loss_classifier_pseudo",
+        "loss_box_reg_pseudo",
+        "loss_mask_pseudo",
+        "loss_classifier",
+        "loss_box_reg",
+        "loss_mask",
+    }
+    assert set(out.losses) == expected
+    for k, v in out.losses.items():
+        assert np.isfinite(float(v)), k
+    assert float(out.info["avg_uncertain"]) > 0
+
+
+def test_st_teacher_gets_no_gradient(st_setup):
+    model, params, images, image_sizes, batch, class_emb, lvis_emb = st_setup
+
+    def loss_fn(p):
+        out = model.apply(
+            p, images, image_sizes, batch, class_emb, lvis_emb, train=True,
+            rngs={
+                "sampler": jax.random.PRNGKey(5),
+                "uncertainty": jax.random.PRNGKey(6),
+            },
+        )
+        return sum(out.losses.values())
+
+    g = jax.grad(loss_fn)(params)["params"]
+    teacher_norm = sum(
+        float(jnp.sum(jnp.abs(x)))
+        for x in jax.tree_util.tree_leaves(g["teacher"])
+    )
+    backbone_norm = sum(
+        float(jnp.sum(jnp.abs(x)))
+        for x in jax.tree_util.tree_leaves(g["backbone"])
+    )
+    student_norm = sum(
+        float(jnp.sum(jnp.abs(x)))
+        for x in jax.tree_util.tree_leaves(g["student"])
+    )
+    assert teacher_norm == 0.0
+    assert backbone_norm == 0.0
+    assert student_norm > 0.0
+
+
+def test_st_eval(st_setup):
+    model, params, images, image_sizes, batch, class_emb, lvis_emb = st_setup
+    out = model.apply(
+        params, images, image_sizes, batch, class_emb, lvis_emb, train=False
+    )
+    assert out.detections.boxes.shape == (2, 8, 4)
+    assert out.mask_probs.shape[0] == 2
