@@ -1,0 +1,131 @@
+"""Benchmark: open-vocabulary Mask R-CNN (R-50-C4 teacher) training
+throughput on the attached TPU chip.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+Baseline note: the reference (hbdat/cvpr22_cross_modal_pseudo_labeling)
+publishes no throughput numbers (BASELINE.md); maskrcnn_benchmark-class
+R-50-C4 Mask R-CNN training runs at roughly 4 img/s per A100-class GPU
+(batch 1/GPU, fp16) — ``vs_baseline`` is measured imgs/sec/chip divided
+by that 4.0 img/s reference point, per BASELINE.json's
+imgs/sec/chip-vs-A100 north star.
+"""
+
+import json
+import sys
+import time
+
+import numpy as np
+
+A100_REFERENCE_IMGS_PER_SEC = 4.0
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from cvpr22_cross_modal_pseudo_labeling_tpu.config import get_default_cfg
+    from cvpr22_cross_modal_pseudo_labeling_tpu.engine.optimizer import (
+        frozen_prefixes_from_cfg,
+        make_optimizer,
+    )
+    from cvpr22_cross_modal_pseudo_labeling_tpu.engine.train_step import (
+        build_train_step,
+        create_train_state,
+    )
+    from cvpr22_cross_modal_pseudo_labeling_tpu.models.detector import (
+        GeneralizedRCNN,
+        statics_from_cfg,
+    )
+
+    batch_size = int(sys.argv[1]) if len(sys.argv) > 1 else 4
+    h, w = 800, 1344  # the (800, 1333) train bucket, padded /64
+
+    cfg = get_default_cfg()
+    cfg.MODEL.MASK_ON = True
+    cfg.MODEL.CLS_AGNOSTIC_BBOX_REG = True
+    cfg.MODEL.CLS_AGNOSTIC_MASK = True
+    cfg.MODEL.ROI_BOX_HEAD.EMBEDDING_BASED = True
+    cfg.MODEL.ROI_BOX_HEAD.EMB_DIM = 768
+    cfg.MODEL.ROI_BOX_HEAD.NUM_CLASSES = 49
+    cfg.MODEL.ROI_BOX_HEAD.LOSS_WEIGHT_BACKGROUND = 0.2
+    cfg.MODEL.ROI_HEADS.POSITIVE_FRACTION = 1.0
+    cfg.MODEL.BACKBONE.FREEZE_CONV_BODY_AT = 2
+    cfg.TPU.COMPUTE_DTYPE = "bfloat16"
+    cfg.TPU.MAX_GT = 20
+
+    model = GeneralizedRCNN(statics_from_cfg(cfg))
+    rng = np.random.RandomState(0)
+    batch = {
+        "images": jnp.asarray(
+            rng.rand(batch_size, h, w, 3), jnp.float32
+        ),
+        "image_sizes": jnp.tile(
+            jnp.array([[800, 1333]], jnp.int32), (batch_size, 1)
+        ),
+        "class_embeddings": jnp.asarray(rng.randn(49, 768), jnp.float32),
+        "gt_boxes": jnp.asarray(
+            np.concatenate(
+                [
+                    rng.uniform(0, 600, (batch_size, 20, 2)),
+                    rng.uniform(650, 1300, (batch_size, 20, 2)),
+                ],
+                axis=-1,
+            )[..., [0, 1, 2, 3]],
+            jnp.float32,
+        ),
+        "gt_labels": jnp.asarray(
+            rng.randint(1, 49, (batch_size, 20)), jnp.int32
+        ),
+        "gt_valid": jnp.ones((batch_size, 20), bool),
+        "gt_masks": jnp.asarray(
+            (rng.rand(batch_size, 20, 28, 28) > 0.5), jnp.float32
+        ),
+    }
+
+    params = model.init(
+        {"params": jax.random.PRNGKey(0), "sampler": jax.random.PRNGKey(1)},
+        batch["images"][:1],
+        batch["image_sizes"][:1],
+        batch["class_embeddings"],
+        {k: batch[k][:1] for k in ("gt_boxes", "gt_labels", "gt_valid", "gt_masks")},
+        train=True,
+    )
+    tx, _ = make_optimizer(
+        cfg, params["params"], frozen_prefixes_from_cfg(cfg)
+    )
+    state = create_train_state(params, tx, jax.random.PRNGKey(7))
+    step = jax.jit(
+        build_train_step(model, tx, "GeneralizedRCNN"), donate_argnums=(0,)
+    )
+
+    # warmup (compile + 2 steps)
+    state, metrics = step(state, batch)
+    jax.block_until_ready(metrics["total_loss"])
+    state, metrics = step(state, batch)
+    jax.block_until_ready(metrics["total_loss"])
+
+    n_steps = 10
+    t0 = time.perf_counter()
+    for _ in range(n_steps):
+        state, metrics = step(state, batch)
+    jax.block_until_ready(metrics["total_loss"])
+    dt = time.perf_counter() - t0
+
+    imgs_per_sec = batch_size * n_steps / dt
+    print(
+        json.dumps(
+            {
+                "metric": "maskrcnn_r50c4_train_imgs_per_sec_per_chip",
+                "value": round(imgs_per_sec, 3),
+                "unit": "imgs/sec/chip",
+                "vs_baseline": round(
+                    imgs_per_sec / A100_REFERENCE_IMGS_PER_SEC, 3
+                ),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,259 @@
+"""Checkpointing: orbax save/resume + torch/Caffe2 weight import.
+
+Re-design of the reference DetectronCheckpointer
+(reference: maskrcnn_benchmark/utils/checkpoint.py:13-154 and
+utils/model_serialization.py:10-67):
+
+* native checkpoints — orbax: model/optimizer/step saved per
+  CHECKPOINT_PERIOD, a ``last_checkpoint`` tag file enables implicit
+  resume (checkpoint.py:34-57); MODEL.LOAD_TRAINER_STATE gates restoring
+  the optimizer (train_net.py:86-88).
+* cross-framework import — a torch ``state_dict`` (the released teacher
+  / MMSS .pth files) is translated into the flax param tree with the
+  reference's key surgery applied first:
+    - MODEL.BACKBONE_PREFIX strip (checkpoint.py:118-119),
+    - ``mmss_heads.<DEFAULT_HEAD>.v2l_projection`` ->
+      ``emb_pred`` when LOAD_EMB_PRED_FROM_MMSS_HEAD
+      (checkpoint.py:120-122),
+    - classifier dropped unless LOAD_CLASSIFIER (checkpoint.py:125-126);
+  then by longest-suffix matching against our param paths
+  (model_serialization.py:10-67) with layout transposes (OIHW->HWIO
+  convs, [in,out,kh,kw]->[kh,kw,in,out] transposed convs, 2-D linear
+  transpose) resolved by target shape.
+"""
+
+import os
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import numpy as np
+
+
+# ---------------------------------------------------------------------------
+# orbax native checkpoints
+# ---------------------------------------------------------------------------
+
+def save_checkpoint(directory: str, state, step: int, keep: int = 5):
+    import orbax.checkpoint as ocp
+
+    directory = os.path.abspath(directory)
+    os.makedirs(directory, exist_ok=True)
+    path = os.path.join(directory, f"model_{step:07d}")
+    ckptr = ocp.StandardCheckpointer()
+    ckptr.save(path, jax.device_get(state), force=True)
+    ckptr.wait_until_finished()
+    with open(os.path.join(directory, "last_checkpoint"), "w") as f:
+        f.write(path)
+    # prune old checkpoints
+    cks = sorted(
+        d for d in os.listdir(directory) if d.startswith("model_")
+    )
+    for old in cks[:-keep]:
+        import shutil
+
+        shutil.rmtree(os.path.join(directory, old), ignore_errors=True)
+    return path
+
+
+def latest_checkpoint(directory: str) -> Optional[str]:
+    tag = os.path.join(directory, "last_checkpoint")
+    if os.path.exists(tag):
+        with open(tag) as f:
+            path = f.read().strip()
+        if os.path.exists(path):
+            return path
+    return None
+
+
+def load_checkpoint(path: str, target_state):
+    import orbax.checkpoint as ocp
+
+    ckptr = ocp.StandardCheckpointer()
+    return ckptr.restore(path, target=jax.device_get(target_state))
+
+
+# ---------------------------------------------------------------------------
+# torch -> flax import
+# ---------------------------------------------------------------------------
+
+def _flatten_params(params) -> Dict[Tuple[str, ...], np.ndarray]:
+    flat = {}
+
+    def walk(node, path):
+        if isinstance(node, dict):
+            for k, v in node.items():
+                walk(v, path + (k,))
+        else:
+            flat[path] = node
+
+    walk(params, ())
+    return flat
+
+
+def _unflatten(flat: Dict[Tuple[str, ...], Any]):
+    out: Dict[str, Any] = {}
+    for path, v in flat.items():
+        node = out
+        for k in path[:-1]:
+            node = node.setdefault(k, {})
+        node[path[-1]] = v
+    return out
+
+
+_TORCH_LEAF_MAP = {
+    "weight": ("kernel", "frozen_bn_weight", "scale"),
+    "bias": ("bias", "frozen_bn_bias"),
+    "running_mean": ("frozen_bn_mean",),
+    "running_var": ("frozen_bn_var",),
+}
+
+
+def _normalize_torch_key(key: str) -> str:
+    """Converts a torch dotted name into a slash path in our module
+    vocabulary: layerN.M -> layerN/blockM, downsample.0/1 ->
+    downsample_conv/bn, predictor/extractor names flattened."""
+    parts = key.split(".")
+    out = []
+    i = 0
+    while i < len(parts):
+        p = parts[i]
+        if p.startswith("layer") and i + 1 < len(parts) and parts[i + 1].isdigit():
+            out.append(p)
+            out.append(f"block{parts[i + 1]}")
+            i += 2
+            continue
+        if p == "downsample" and i + 1 < len(parts) and parts[i + 1].isdigit():
+            out.append(
+                "downsample_conv" if parts[i + 1] == "0" else "downsample_bn"
+            )
+            i += 2
+            continue
+        out.append(p)
+        i += 1
+    return "/".join(out)
+
+
+def _candidate_values(value: np.ndarray, target_shape) -> Optional[np.ndarray]:
+    """Reshapes/transposes a torch tensor to the flax layout implied by
+    the target shape, or None if incompatible."""
+    v = np.asarray(value)
+    if tuple(v.shape) == tuple(target_shape):
+        return v
+    if v.ndim == 4:
+        for perm in ((2, 3, 1, 0), (2, 3, 0, 1)):
+            t = v.transpose(perm)
+            if tuple(t.shape) == tuple(target_shape):
+                return t
+    if v.ndim == 2 and tuple(v.T.shape) == tuple(target_shape):
+        return v.T
+    if v.ndim == 1 and tuple(v.shape) == tuple(target_shape):
+        return v
+    return None
+
+
+def apply_reference_key_surgery(
+    state_dict: Dict[str, np.ndarray],
+    backbone_prefix: str = "",
+    load_emb_pred_from_mmss_head: bool = False,
+    default_mmss_head: str = "GroundingHead",
+    load_classifier: bool = True,
+) -> Dict[str, np.ndarray]:
+    """The DetectronCheckpointer renames (checkpoint.py:113-126)."""
+    out = {}
+    for k, v in state_dict.items():
+        nk = k
+        if nk.startswith("module."):
+            nk = nk[len("module.") :]
+        if backbone_prefix and nk.startswith(backbone_prefix):
+            nk = "backbone.body." + nk[len(backbone_prefix) :]
+        if load_emb_pred_from_mmss_head:
+            marker = f"mmss_heads.{default_mmss_head}.v2l_projection"
+            if marker in nk:
+                nk = "roi_heads.box.predictor.emb_pred" + nk[
+                    nk.index(marker) + len(marker) :
+                ]
+        if not load_classifier and "cls_score" in nk:
+            continue
+        out[nk] = v
+    return out
+
+
+def import_torch_state_dict(
+    params: Dict[str, Any],
+    state_dict: Dict[str, np.ndarray],
+    verbose: bool = False,
+) -> Tuple[Dict[str, Any], Dict[str, Any]]:
+    """Longest-suffix matching of translated torch keys onto the flax
+    param tree (model_serialization.py:10-67 semantics).
+
+    Returns (new_params, report) where report lists matched/missed keys.
+    """
+    flat = _flatten_params(params)
+    # target path strings (leaf translated back to torch-ish vocab)
+    target_keys = {path: "/".join(path) for path in flat}
+
+    matched, missed = {}, []
+    used_targets = set()
+    for tk, tv in state_dict.items():
+        tv = np.asarray(tv)
+        norm = _normalize_torch_key(tk)
+        segs = norm.split("/")
+        leaf = segs[-1]
+        body = segs[:-1]
+        leaf_options = _TORCH_LEAF_MAP.get(leaf, (leaf,))
+        best = None
+        best_len = -1
+        for path, pstr in target_keys.items():
+            if path in used_targets:
+                continue
+            if path[-1] not in leaf_options:
+                continue
+            # suffix match on the body segments
+            tpath = list(path[:-1])
+            n = 0
+            while (
+                n < len(body)
+                and n < len(tpath)
+                and body[len(body) - 1 - n] == tpath[len(tpath) - 1 - n]
+            ):
+                n += 1
+            if n == 0 and body:
+                continue
+            cand = _candidate_values(tv, flat[path].shape)
+            if cand is None:
+                continue
+            if n > best_len:
+                best_len = n
+                best = (path, cand)
+        if best is None:
+            missed.append(tk)
+            continue
+        matched[best[0]] = best[1]
+        used_targets.add(best[0])
+        if verbose:
+            print(f"{tk} -> {'/'.join(best[0])}")
+
+    new_flat = dict(flat)
+    for path, v in matched.items():
+        new_flat[path] = np.asarray(v, dtype=np.asarray(flat[path]).dtype)
+    report = {
+        "matched": len(matched),
+        "missed_source_keys": missed,
+        "unfilled_targets": [
+            "/".join(p) for p in flat if p not in matched
+        ],
+    }
+    return _unflatten(new_flat), report
+
+
+def load_torch_checkpoint(path: str) -> Dict[str, np.ndarray]:
+    """Loads a torch .pth (or Caffe2-converted dict) to numpy."""
+    import torch
+
+    blob = torch.load(path, map_location="cpu", weights_only=False)
+    if isinstance(blob, dict) and "model" in blob:
+        blob = blob["model"]
+    return {
+        k: v.numpy() if hasattr(v, "numpy") else np.asarray(v)
+        for k, v in blob.items()
+    }

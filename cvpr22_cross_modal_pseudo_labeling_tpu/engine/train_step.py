@@ -1,0 +1,165 @@
+"""Jitted, mesh-sharded training steps for the three meta-architectures.
+
+The reference's iteration body (engine/trainer.py:94-141: forward, loss
+sum, DDP-allreduce backward, clip, SGD step) compiles here into ONE XLA
+program per architecture: loss + grad + optimizer update + metrics.
+Gradient all-reduce is inserted by GSPMD from the shardings (batch on
+'data', params replicated); loss reduction for logging is part of the
+same program (the dist.reduce of reduce_loss_dict, trainer.py:19-41,
+becomes free).
+"""
+
+from typing import Any, Callable, Dict, Optional
+
+import flax.struct
+import jax
+import jax.numpy as jnp
+import optax
+
+from ..parallel.mesh import data_sharded, replicated
+
+
+@flax.struct.dataclass
+class TrainState:
+    step: jnp.ndarray
+    params: Any
+    opt_state: Any
+    rng: jax.Array
+
+
+def create_train_state(params, tx, rng) -> TrainState:
+    return TrainState(
+        step=jnp.zeros((), jnp.int32),
+        params=params,
+        opt_state=tx.init(params["params"] if "params" in params else params),
+        rng=rng,
+    )
+
+
+def _apply_update(state: TrainState, grads, tx) -> TrainState:
+    params_inner = state.params["params"]
+    updates, opt_state = tx.update(
+        grads["params"], state.opt_state, params_inner
+    )
+    new_inner = optax.apply_updates(params_inner, updates)
+    new_params = dict(state.params)
+    new_params["params"] = new_inner
+    return state.replace(
+        step=state.step + 1,
+        params=new_params,
+        opt_state=opt_state,
+        rng=jax.random.fold_in(state.rng, 1),
+    )
+
+
+def build_train_step(
+    model,
+    tx,
+    meta_arch: str,
+    grad_accum: int = 1,
+) -> Callable:
+    """Returns step(state, batch) -> (state, metrics).
+
+    ``batch`` is a dict; per-arch required keys:
+      GeneralizedRCNN: images, image_sizes, class_embeddings, gt_*
+      STGeneralizedRCNN: images, image_sizes, class_embeddings,
+        lvis_class_embeddings, cap_*, det_mask, gt_*
+      MMSS-GCNN: images, image_sizes, input_ids, attention_mask,
+        special_tokens_mask
+    """
+
+    def loss_fn(params, batch, rng):
+        rngs = {
+            "sampler": jax.random.fold_in(rng, 0),
+            "uncertainty": jax.random.fold_in(rng, 1),
+            "dropout": jax.random.fold_in(rng, 2),
+            "mlm": jax.random.fold_in(rng, 3),
+            "alignment": jax.random.fold_in(rng, 4),
+        }
+        if meta_arch == "GeneralizedRCNN":
+            targets = {
+                k: batch[k]
+                for k in ("gt_boxes", "gt_labels", "gt_valid", "gt_masks")
+            }
+            out = model.apply(
+                params,
+                batch["images"],
+                batch["image_sizes"],
+                batch.get("class_embeddings"),
+                targets,
+                train=True,
+                rngs=rngs,
+            )
+            losses, info = out.losses, out.info
+        elif meta_arch == "STGeneralizedRCNN":
+            out = model.apply(
+                params,
+                batch["images"],
+                batch["image_sizes"],
+                batch,
+                batch.get("class_embeddings"),
+                batch.get("lvis_class_embeddings"),
+                train=True,
+                rngs=rngs,
+            )
+            losses, info = out.losses, out.info
+        elif meta_arch == "MMSS-GCNN":
+            captions = {
+                k: batch[k]
+                for k in (
+                    "input_ids",
+                    "attention_mask",
+                    "special_tokens_mask",
+                )
+            }
+            info, losses = model.apply(
+                params,
+                batch["images"],
+                batch["image_sizes"],
+                captions,
+                train=True,
+                rngs=rngs,
+            )
+        else:
+            raise ValueError(meta_arch)
+        total = sum(losses.values()) / grad_accum
+        return total, (losses, info)
+
+    def step(state: TrainState, batch):
+        rng = jax.random.fold_in(state.rng, state.step)
+        grads, (losses, info) = jax.grad(loss_fn, has_aux=True)(
+            state.params, batch, rng
+        )
+        new_state = _apply_update(state, grads, tx)
+        metrics = {**losses, **info}
+        metrics["total_loss"] = sum(losses.values())
+        metrics["grad_norm"] = optax.global_norm(grads)
+        return new_state, metrics
+
+    return step
+
+
+_REPLICATED_BATCH_KEYS = ("class_embeddings", "lvis_class_embeddings")
+
+
+def batch_shardings(example_batch, mesh):
+    """Per-key shardings: global tables (class-embedding matrices)
+    replicated, everything else split on the batch ('data') axis."""
+    repl = replicated(mesh)
+    data = data_sharded(mesh)
+    return {
+        k: repl if k in _REPLICATED_BATCH_KEYS else data
+        for k in example_batch
+    }
+
+
+def jit_train_step(step_fn, mesh, example_batch):
+    """Shards: state replicated, batch split on 'data' (embedding tables
+    replicated); state donated."""
+    repl = replicated(mesh)
+    return jax.jit(
+        step_fn,
+        in_shardings=(repl, batch_shardings(example_batch, mesh)),
+        out_shardings=(repl, repl),
+        donate_argnums=(0,),
+    )
