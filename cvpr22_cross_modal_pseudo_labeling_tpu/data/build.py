@@ -1,0 +1,195 @@
+"""Data loader construction.
+
+Re-design of reference data/build.py:18-192 (make_data_loader): catalog
+lookup -> dataset factory -> transforms -> sampler stack (distributed
+shard, aspect-ratio grouping, iteration wrapping, repeat factors) ->
+threaded prefetching loader producing statically-shaped batch dicts.
+
+The torch DataLoader worker-pool is replaced by a thread-pool prefetcher
+(images decode under PIL/cv2 which release the GIL) with a bounded
+queue; the device transfer is double-buffered by the caller via
+jax.device_put on the next batch while the current step runs.
+"""
+
+import queue
+import threading
+from typing import Iterator, Optional
+
+from .collate import BatchCollator
+from .datasets import (
+    COCOCapDetDataset,
+    COCOCaptionsDataset,
+    COCODataset,
+    ConCapDetDataset,
+    ConcatDataset,
+    ConceptualOpenImagesDetDataset,
+    OpenImagesDataset,
+)
+from .samplers import (
+    DistributedSampler,
+    GroupedBatchSampler,
+    IterationBasedBatchSampler,
+    compute_aspect_ratio_groups,
+)
+from .transforms import build_transforms
+
+DATASET_CLASSES = {
+    "COCODataset": COCODataset,
+    "COCOCapDetDataset": COCOCapDetDataset,
+    "COCOCaptionsDataset": COCOCaptionsDataset,
+    "ConCapDetDataset": ConCapDetDataset,
+    "ConceptualOpenImagesDetDataset": ConceptualOpenImagesDetDataset,
+    "OpenImagesDataset": OpenImagesDataset,
+}
+
+
+def build_dataset(cfg, dataset_names, transforms, is_train: bool):
+    """data/build.py:18-63: catalog entries -> dataset instances,
+    concatenated for training."""
+    from . import paths_catalog
+
+    datasets = []
+    for name in dataset_names:
+        entry = paths_catalog.DatasetCatalog.get(name)
+        factory_name = cfg.DATASETS.DATASET_CLASS or entry["factory"]
+        factory = DATASET_CLASSES[factory_name]
+        args = dict(entry["args"])
+        args["transforms"] = transforms
+        args["extra_args"] = dict(cfg.DATASETS.DATASET_ARGS)
+        args.setdefault("remove_images_without_annotations", is_train)
+        datasets.append(factory(**args))
+    if not is_train:
+        return datasets
+    return [datasets[0] if len(datasets) == 1 else ConcatDataset(datasets)]
+
+
+class PrefetchingLoader:
+    def __init__(self, dataset, batch_sampler, collator, num_workers=4):
+        self.dataset = dataset
+        self.batch_sampler = batch_sampler
+        self.collator = collator
+        self.num_workers = max(num_workers, 1)
+
+    def __len__(self):
+        return len(self.batch_sampler)
+
+    def __iter__(self) -> Iterator:
+        out_q: "queue.Queue" = queue.Queue(maxsize=4)
+        stop = threading.Event()
+
+        def producer():
+            try:
+                from concurrent.futures import ThreadPoolExecutor
+
+                with ThreadPoolExecutor(self.num_workers) as pool:
+                    for batch_idx in self.batch_sampler:
+                        if stop.is_set():
+                            return
+                        samples = list(
+                            pool.map(self.dataset.__getitem__, batch_idx)
+                        )
+                        out_q.put(
+                            (self.collator(samples), list(batch_idx))
+                        )
+            finally:
+                out_q.put(None)
+
+        t = threading.Thread(target=producer, daemon=True)
+        t.start()
+        try:
+            while True:
+                item = out_q.get()
+                if item is None:
+                    return
+                yield item
+        finally:
+            stop.set()
+
+
+def make_data_loader(
+    cfg,
+    is_train: bool = True,
+    is_distributed: bool = False,
+    start_iter: int = 0,
+    rank: int = 0,
+    num_replicas: int = 1,
+):
+    """data/build.py:115-192. Returns one loader for training, a list
+    for test."""
+    num_hosts = num_replicas if is_distributed else 1
+    if is_train:
+        global_batch = cfg.SOLVER.IMS_PER_BATCH
+        per_host = global_batch // num_hosts
+        shuffle = True
+        num_iters = cfg.SOLVER.MAX_ITER
+        names = cfg.DATASETS.TRAIN
+    else:
+        per_host = cfg.TEST.IMS_PER_BATCH // num_hosts
+        shuffle = False
+        num_iters = None
+        names = cfg.DATASETS.TEST
+
+    transforms = build_transforms(cfg, is_train)
+    datasets = build_dataset(cfg, names, transforms, is_train)
+    collator = BatchCollator.from_cfg(cfg)
+
+    loaders = []
+    for ds in datasets:
+        repeat = getattr(ds, "repeat_factors", None)
+        sampler = DistributedSampler(
+            len(ds),
+            num_replicas=num_hosts,
+            rank=rank,
+            shuffle=shuffle,
+            repeat_factors=repeat if is_train else None,
+        )
+        if cfg.DATALOADER.ASPECT_RATIO_GROUPING and is_train:
+            groups = compute_aspect_ratio_groups(ds)
+            batch_sampler = GroupedBatchSampler(
+                sampler, groups, per_host, drop_last=cfg.DATALOADER.DROP_LAST
+            )
+        else:
+            batch_sampler = _FixedBatchSampler(
+                sampler, per_host,
+                drop_last=cfg.DATALOADER.DROP_LAST and is_train,
+            )
+        if num_iters is not None:
+            batch_sampler = IterationBasedBatchSampler(
+                batch_sampler, num_iters, start_iter
+            )
+        loaders.append(
+            PrefetchingLoader(
+                ds, batch_sampler, collator, cfg.DATALOADER.NUM_WORKERS
+            )
+        )
+    if is_train:
+        assert len(loaders) == 1
+        return loaders[0], datasets[0]
+    return loaders, datasets
+
+
+class _FixedBatchSampler:
+    def __init__(self, sampler, batch_size, drop_last=False):
+        self.sampler = sampler
+        self.batch_size = batch_size
+        self.drop_last = drop_last
+
+    def __iter__(self):
+        batch = []
+        for idx in self.sampler:
+            batch.append(idx)
+            if len(batch) == self.batch_size:
+                yield batch
+                batch = []
+        if batch and not self.drop_last:
+            yield batch
+
+    def __len__(self):
+        import math
+
+        n = len(self.sampler)
+        return (
+            n // self.batch_size
+            if self.drop_last
+            else math.ceil(n / self.batch_size)
+        )

@@ -1,0 +1,146 @@
+"""Index samplers: distributed sharding, aspect-ratio grouping,
+iteration-based wrapping, repeat-factor rebalancing.
+
+Re-designs of reference data/samplers/ (distributed.py:10-66,
+grouped_batch_sampler.py:9-115, iteration_based_batch_sampler.py) and
+the OpenImages repeat-factor logic (openimages.py:154-234).
+"""
+
+import math
+from typing import Iterator, List, Optional, Sequence
+
+import numpy as np
+
+
+class DistributedSampler:
+    """Pad-to-divisible, per-rank contiguous slice, epoch-seeded shuffle
+    (distributed.py semantics).  On TPU 'rank' is the process index
+    (multi-host) — within one host the global batch is sharded on the
+    mesh instead."""
+
+    def __init__(
+        self,
+        dataset_len: int,
+        num_replicas: int = 1,
+        rank: int = 0,
+        shuffle: bool = True,
+        seed: int = 0,
+        repeat_factors: Optional[np.ndarray] = None,
+    ):
+        self.dataset_len = dataset_len
+        self.num_replicas = num_replicas
+        self.rank = rank
+        self.shuffle = shuffle
+        self.seed = seed
+        self.epoch = 0
+        self.repeat_factors = repeat_factors
+
+    def set_epoch(self, epoch: int):
+        self.epoch = epoch
+
+    def _epoch_indices(self) -> np.ndarray:
+        rng = np.random.RandomState(self.seed + self.epoch)
+        if self.repeat_factors is not None:
+            # stochastic rounding of repeat factors per epoch
+            # (openimages repeat-factor sampling)
+            rf = np.asarray(self.repeat_factors)
+            ints = np.floor(rf).astype(np.int64)
+            frac = rf - ints
+            extra = (rng.rand(len(rf)) < frac).astype(np.int64)
+            idx = np.repeat(np.arange(len(rf)), ints + extra)
+        else:
+            idx = np.arange(self.dataset_len)
+        if self.shuffle:
+            rng.shuffle(idx)
+        return idx
+
+    def __iter__(self) -> Iterator[int]:
+        idx = self._epoch_indices()
+        total = int(
+            math.ceil(len(idx) / self.num_replicas) * self.num_replicas
+        )
+        if total > len(idx):
+            idx = np.concatenate([idx, idx[: total - len(idx)]])
+        per = total // self.num_replicas
+        shard = idx[self.rank * per : (self.rank + 1) * per]
+        return iter(shard.tolist())
+
+    def __len__(self):
+        n = (
+            len(self.repeat_factors)
+            if self.repeat_factors is not None
+            else self.dataset_len
+        )
+        return int(math.ceil(n / self.num_replicas))
+
+
+class GroupedBatchSampler:
+    """Batches only within aspect-ratio groups (portrait vs landscape,
+    grouped_batch_sampler.py; group ids from data/build.py
+    _quantize(aspect_ratios, [1])).  Never-exhausted leftovers are
+    emitted as trailing partial batches unless drop_last."""
+
+    def __init__(
+        self,
+        sampler,
+        group_ids: Sequence[int],
+        batch_size: int,
+        drop_last: bool = False,
+    ):
+        self.sampler = sampler
+        self.group_ids = np.asarray(group_ids)
+        self.batch_size = batch_size
+        self.drop_last = drop_last
+
+    def __iter__(self):
+        buffers = {}
+        for idx in self.sampler:
+            g = int(self.group_ids[idx])
+            buffers.setdefault(g, []).append(idx)
+            if len(buffers[g]) == self.batch_size:
+                yield buffers.pop(g)
+        if not self.drop_last:
+            for g in sorted(buffers):
+                if buffers[g]:
+                    yield buffers[g]
+
+    def __len__(self):
+        return int(math.ceil(len(self.sampler) / self.batch_size))
+
+
+class IterationBasedBatchSampler:
+    """Re-iterates the wrapped batch sampler until num_iterations
+    (iteration_based_batch_sampler.py); resumable from start_iter."""
+
+    def __init__(self, batch_sampler, num_iterations: int, start_iter: int = 0):
+        self.batch_sampler = batch_sampler
+        self.num_iterations = num_iterations
+        self.start_iter = start_iter
+
+    def __iter__(self):
+        iteration = self.start_iter
+        epoch = 0
+        while iteration < self.num_iterations:
+            if hasattr(self.batch_sampler, "sampler") and hasattr(
+                self.batch_sampler.sampler, "set_epoch"
+            ):
+                self.batch_sampler.sampler.set_epoch(epoch)
+            for batch in self.batch_sampler:
+                if iteration >= self.num_iterations:
+                    return
+                yield batch
+                iteration += 1
+            epoch += 1
+
+    def __len__(self):
+        return self.num_iterations - self.start_iter
+
+
+def compute_aspect_ratio_groups(dataset) -> List[int]:
+    """data/build.py:71-113 _compute_aspect_ratios + _quantize([1])."""
+    groups = []
+    for i in range(len(dataset)):
+        info = dataset.get_img_info(i)
+        h, w = info.get("height", 0), info.get("width", 1)
+        groups.append(1 if h and w and h / max(w, 1) >= 1 else 0)
+    return groups

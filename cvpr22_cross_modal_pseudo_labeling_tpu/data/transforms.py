@@ -1,0 +1,193 @@
+"""Host-side image/target transforms (numpy/PIL).
+
+Re-design of reference data/transforms/transforms.py: Resize (random
+choice of min side, max-side cap), horizontal/vertical flip, color
+jitter, Caffe2 normalization (TO_BGR255 + pixel-mean subtraction,
+transforms.py:110-120, INPUT.PIXEL_MEAN defaults.py:62).
+
+Samples are plain dicts:
+  image: float32 [H, W, 3] (RGB 0..1 until Normalize),
+  boxes: [N, 4] xyxy float32,
+  labels: [N] int64,
+  gt_masks: [N, M, M] float32 box-local instance masks — invariant under
+    resize (box-relative coordinates don't change) and mirrored on flip,
+    so geometric transforms never touch pixel-level segmentation data,
+plus passthrough caption/metadata keys.
+"""
+
+import random
+from typing import Dict, Optional, Sequence, Tuple
+
+import numpy as np
+from PIL import Image
+
+from ..core.boxes import TO_REMOVE
+
+
+def get_resize_hw(
+    orig_hw: Tuple[int, int], min_size: int, max_size: Optional[int]
+) -> Tuple[int, int]:
+    """Shorter-side resize with longer-side cap (transforms.py Resize
+    get_size semantics)."""
+    h, w = orig_hw
+    size = float(min_size)
+    if max_size is not None:
+        min_orig, max_orig = float(min(h, w)), float(max(h, w))
+        if max_orig / min_orig * size > max_size:
+            size = round(max_size * min_orig / max_orig)
+    if (h <= w and h == size) or (w <= h and w == size):
+        return h, w
+    if h < w:
+        return int(size), int(size * w / h)
+    return int(size * h / w), int(size)
+
+
+class Resize:
+    def __init__(self, min_sizes: Sequence[int], max_size: int):
+        self.min_sizes = tuple(min_sizes)
+        self.max_size = max_size
+
+    def __call__(self, sample: Dict, rng: random.Random) -> Dict:
+        min_size = rng.choice(self.min_sizes)
+        h, w = sample["image"].shape[:2]
+        nh, nw = get_resize_hw((h, w), min_size, self.max_size)
+        if (nh, nw) != (h, w):
+            img = Image.fromarray(
+                (sample["image"] * 255).astype(np.uint8)
+            ).resize((nw, nh), Image.BILINEAR)
+            sample["image"] = np.asarray(img, np.float32) / 255.0
+            sx, sy = nw / w, nh / h
+            if len(sample.get("boxes", [])):
+                sample["boxes"] = sample["boxes"] * np.array(
+                    [sx, sy, sx, sy], np.float32
+                )
+            # box-local gt_masks are invariant under resize
+        return sample
+
+
+class RandomHorizontalFlip:
+    def __init__(self, prob: float = 0.5):
+        self.prob = prob
+
+    def __call__(self, sample: Dict, rng: random.Random) -> Dict:
+        if rng.random() >= self.prob:
+            return sample
+        img = sample["image"][:, ::-1].copy()
+        h, w = img.shape[:2]
+        sample["image"] = img
+        if len(sample.get("boxes", [])):
+            b = sample["boxes"]
+            x1 = w - b[:, 2] - TO_REMOVE
+            x2 = w - b[:, 0] - TO_REMOVE
+            sample["boxes"] = np.stack(
+                [x1, b[:, 1], x2, b[:, 3]], axis=1
+            ).astype(np.float32)
+        if len(sample.get("gt_masks", [])):
+            sample["gt_masks"] = sample["gt_masks"][:, :, ::-1].copy()
+        return sample
+
+
+class RandomVerticalFlip:
+    def __init__(self, prob: float = 0.0):
+        self.prob = prob
+
+    def __call__(self, sample: Dict, rng: random.Random) -> Dict:
+        if self.prob <= 0 or rng.random() >= self.prob:
+            return sample
+        img = sample["image"][::-1].copy()
+        h = img.shape[0]
+        sample["image"] = img
+        if len(sample.get("boxes", [])):
+            b = sample["boxes"]
+            y1 = h - b[:, 3] - TO_REMOVE
+            y2 = h - b[:, 1] - TO_REMOVE
+            sample["boxes"] = np.stack(
+                [b[:, 0], y1, b[:, 2], y2], axis=1
+            ).astype(np.float32)
+        if len(sample.get("gt_masks", [])):
+            sample["gt_masks"] = sample["gt_masks"][:, ::-1, :].copy()
+        return sample
+
+
+class ColorJitter:
+    """Brightness/contrast/saturation jitter (hue omitted: the shipped
+    configs set all factors to 0 — defaults.py:69-73)."""
+
+    def __init__(self, brightness=0.0, contrast=0.0, saturation=0.0, hue=0.0):
+        self.brightness = brightness
+        self.contrast = contrast
+        self.saturation = saturation
+
+    def __call__(self, sample: Dict, rng: random.Random) -> Dict:
+        img = sample["image"]
+        if self.brightness > 0:
+            img = img * rng.uniform(
+                1 - self.brightness, 1 + self.brightness
+            )
+        if self.contrast > 0:
+            mean = img.mean()
+            img = (img - mean) * rng.uniform(
+                1 - self.contrast, 1 + self.contrast
+            ) + mean
+        if self.saturation > 0:
+            gray = img.mean(axis=2, keepdims=True)
+            img = gray + (img - gray) * rng.uniform(
+                1 - self.saturation, 1 + self.saturation
+            )
+        sample["image"] = np.clip(img, 0.0, 1.0)
+        return sample
+
+
+class Normalize:
+    def __init__(self, mean, std, to_bgr255=True):
+        self.mean = np.asarray(mean, np.float32)
+        self.std = np.asarray(std, np.float32)
+        self.to_bgr255 = to_bgr255
+
+    def __call__(self, sample: Dict, rng: random.Random) -> Dict:
+        img = sample["image"]
+        if self.to_bgr255:
+            img = img[:, :, ::-1] * 255.0
+        sample["image"] = (img - self.mean) / self.std
+        return sample
+
+
+class Compose:
+    def __init__(self, transforms):
+        self.transforms = list(transforms)
+
+    def __call__(self, sample: Dict, rng: random.Random) -> Dict:
+        for t in self.transforms:
+            sample = t(sample, rng)
+        return sample
+
+
+def build_transforms(cfg, is_train: bool) -> Compose:
+    """data/transforms/build.py equivalent."""
+    if is_train:
+        min_sizes = cfg.INPUT.MIN_SIZE_TRAIN
+        if isinstance(min_sizes, (int, float)):
+            min_sizes = (min_sizes,)
+        max_size = cfg.INPUT.MAX_SIZE_TRAIN
+        hflip = cfg.INPUT.HORIZONTAL_FLIP_PROB_TRAIN
+        vflip = cfg.INPUT.VERTICAL_FLIP_PROB_TRAIN
+        jitter = ColorJitter(
+            cfg.INPUT.BRIGHTNESS,
+            cfg.INPUT.CONTRAST,
+            cfg.INPUT.SATURATION,
+            cfg.INPUT.HUE,
+        )
+        ts = [
+            jitter,
+            Resize(min_sizes, max_size),
+            RandomHorizontalFlip(hflip),
+            RandomVerticalFlip(vflip),
+        ]
+    else:
+        ts = [Resize((cfg.INPUT.MIN_SIZE_TEST,), cfg.INPUT.MAX_SIZE_TEST)]
+    ts.append(
+        Normalize(
+            cfg.INPUT.PIXEL_MEAN, cfg.INPUT.PIXEL_STD, cfg.INPUT.TO_BGR255
+        )
+    )
+    return Compose(ts)

@@ -1,0 +1,215 @@
+import json
+import os
+
+import numpy as np
+import pytest
+from PIL import Image
+
+from cvpr22_cross_modal_pseudo_labeling_tpu.config import get_default_cfg
+from cvpr22_cross_modal_pseudo_labeling_tpu.data.collate import (
+    BatchCollator,
+    HashingTokenizer,
+    select_bucket,
+)
+from cvpr22_cross_modal_pseudo_labeling_tpu.data.datasets.coco import (
+    COCODataset,
+    rasterize_instance_mask,
+)
+from cvpr22_cross_modal_pseudo_labeling_tpu.data.parser import (
+    LVISParser,
+    get_parser,
+    lemmatize_phrase,
+    normalize_class_names,
+)
+from cvpr22_cross_modal_pseudo_labeling_tpu.data.samplers import (
+    DistributedSampler,
+    GroupedBatchSampler,
+    IterationBasedBatchSampler,
+)
+from cvpr22_cross_modal_pseudo_labeling_tpu.data.transforms import (
+    build_transforms,
+    get_resize_hw,
+)
+
+
+@pytest.fixture(scope="module")
+def tiny_coco(tmp_path_factory):
+    root = tmp_path_factory.mktemp("coco")
+    img_dir = root / "images"
+    img_dir.mkdir()
+    images, annotations = [], []
+    rng = np.random.RandomState(0)
+    for i in range(4):
+        h, w = (60, 80) if i % 2 == 0 else (80, 60)
+        arr = (rng.rand(h, w, 3) * 255).astype(np.uint8)
+        name = f"img{i}.jpg"
+        Image.fromarray(arr).save(img_dir / name)
+        images.append(
+            {"id": i + 1, "file_name": name, "height": h, "width": w}
+        )
+        annotations.append(
+            {
+                "id": 100 + i,
+                "image_id": i + 1,
+                "category_id": (i % 2) + 1,
+                "bbox": [10, 10, 30, 25],
+                "area": 750,
+                "iscrowd": 0,
+                "segmentation": [[10, 10, 39, 10, 39, 34, 10, 34]],
+            }
+        )
+    categories = [
+        {
+            "id": 1,
+            "name": "cat",
+            "embedding": {"BertEmb": [0.1] * 8},
+            "split": "seen",
+        },
+        {
+            "id": 2,
+            "name": "dog",
+            "embedding": {"BertEmb": [0.2] * 8},
+            "split": "unseen",
+        },
+    ]
+    ann = {
+        "images": images,
+        "annotations": annotations,
+        "categories": categories,
+    }
+    ann_file = root / "instances.json"
+    ann_file.write_text(json.dumps(ann))
+    return str(ann_file), str(img_dir)
+
+
+def test_coco_dataset_loads(tiny_coco):
+    ann_file, img_dir = tiny_coco
+    ds = COCODataset(
+        ann_file,
+        img_dir,
+        remove_images_without_annotations=True,
+        extra_args={"LOAD_EMBEDDINGS": True, "EMB_KEY": "BertEmb", "EMB_DIM": 8},
+    )
+    assert len(ds) == 4
+    assert ds.class_emb_mtx.shape == (3, 8)
+    np.testing.assert_allclose(ds.class_emb_mtx[0], 0.0)  # bg row
+    assert ds.class_splits == {"seen": [1], "unseen": [2]}
+    assert ds.class_names[0] == "bg"
+    s = ds[0]
+    assert s["image"].shape[2] == 3
+    assert s["boxes"].shape == (1, 4)
+    assert s["gt_masks"].shape == (1, 28, 28)
+    # the instance covers its own box entirely -> mask nearly solid
+    assert s["gt_masks"][0].mean() > 0.9
+
+
+def test_transforms_resize_and_masks(tiny_coco):
+    cfg = get_default_cfg()
+    cfg.INPUT.MIN_SIZE_TRAIN = (48,)
+    cfg.INPUT.MAX_SIZE_TRAIN = 64
+    tf = build_transforms(cfg, is_train=True)
+    ann_file, img_dir = tiny_coco
+    ds = COCODataset(ann_file, img_dir, False, transforms=tf)
+    s = ds[0]
+    assert min(s["image"].shape[:2]) <= 48
+    # normalized (BGR255 mean-subtracted) pixels are no longer in [0,1]
+    assert s["image"].min() < -1.0
+
+
+def test_get_resize_hw_caps_long_side():
+    h, w = get_resize_hw((400, 1000), 800, 1333)
+    assert max(h, w) <= 1333
+    # int truncation after scale matches the reference Resize math
+    assert w in (1332, 1333) and h == 533
+
+
+def test_rasterize_rle_instance():
+    from cvpr22_cross_modal_pseudo_labeling_tpu.utils.rle import encode_mask
+
+    full = np.zeros((50, 50), np.uint8)
+    full[10:30, 10:30] = 1
+    rle = encode_mask(full)
+    out = rasterize_instance_mask(rle, [10, 10, 29, 29], (50, 50), 28)
+    assert out.mean() > 0.85
+
+
+def test_collator_shapes(tiny_coco):
+    ann_file, img_dir = tiny_coco
+    ds = COCODataset(ann_file, img_dir, False)
+    collator = BatchCollator(
+        buckets=((96, 96),), max_gt=5, max_cap_tokens=16, max_cap_nouns=4
+    )
+    batch = collator([ds[0], ds[1]])
+    assert batch["images"].shape == (2, 96, 96, 3)
+    assert batch["gt_boxes"].shape == (2, 5, 4)
+    assert batch["gt_masks"].shape == (2, 5, 28, 28)
+    assert batch["gt_valid"].sum() == 2
+    assert batch["det_mask"].all()
+    assert not batch["cap_mask"].any()
+    assert batch["input_ids"].shape == (2, 16)
+
+
+def test_select_bucket():
+    assert select_bucket(700, 1000, ((800, 1344), (1344, 800))) == (800, 1344)
+    assert select_bucket(1000, 700, ((800, 1344), (1344, 800))) == (1344, 800)
+    # fallback rounds up to divisibility
+    assert select_bucket(1500, 700, ((800, 1344),), 64) == (1536, 704)
+
+
+def test_lemmatizer_and_parser():
+    assert lemmatize_phrase("dogs") == "dog"
+    assert lemmatize_phrase("berries and knives") == "berry and knife"
+    parser = get_parser()
+    nns, ids = parser.parse("A dog chasing two cats down the street")
+    assert any("dog" in n for n in nns)
+    assert any("cat" in n for n in nns)
+    assert all(0 <= i < 1203 for i in ids)
+    assert len(nns) == len(ids)
+
+
+def test_normalize_class_names():
+    assert normalize_class_names(["Taco_stand/(food)"]) == ["taco stand food"]
+
+
+def test_distributed_sampler_sharding():
+    s0 = DistributedSampler(10, num_replicas=4, rank=0, shuffle=False)
+    s3 = DistributedSampler(10, num_replicas=4, rank=3, shuffle=False)
+    i0, i3 = list(s0), list(s3)
+    assert len(i0) == len(i3) == 3  # ceil(10/4) with wraparound padding
+    assert set(i0).isdisjoint(set(i3) - set(i0[:2]))
+
+
+def test_grouped_batch_sampler_groups():
+    groups = [0, 1, 0, 1, 0, 1]
+    sampler = iter(range(6))
+    gb = GroupedBatchSampler(list(range(6)), groups, 2)
+    batches = list(gb)
+    for b in batches:
+        gs = {groups[i] for i in b}
+        assert len(gs) == 1
+
+
+def test_iteration_based_sampler_wraps():
+    base = _ListBatchSampler([[0, 1], [2, 3]])
+    it = IterationBasedBatchSampler(base, num_iterations=5)
+    batches = list(it)
+    assert len(batches) == 5
+
+
+class _ListBatchSampler:
+    def __init__(self, batches):
+        self.batches = batches
+
+    def __iter__(self):
+        return iter(self.batches)
+
+    def __len__(self):
+        return len(self.batches)
+
+
+def test_repeat_factor_sampler():
+    rf = np.array([1.0, 3.0, 1.0])
+    s = DistributedSampler(3, shuffle=False, repeat_factors=rf)
+    idx = list(s)
+    assert idx.count(1) == 3
+    assert idx.count(0) == 1
