@@ -1,0 +1,300 @@
+"""COCO-style detection/segmentation evaluation (pycocotools-free).
+
+Re-implementation of the COCOeval protocol consumed by the reference
+evaluator (reference: data/datasets/evaluation/coco/coco_eval.py):
+greedy score-ordered matching per (image, category) with crowd/area
+ignore semantics, 101-point interpolated precision, AP averaged over IoU
+0.50:0.95, plus the reference's additions — per-class AP50 and
+per-split (seen/unseen) AP50 (coco_eval.py:378-404) and the
+expected-results regression check (coco_eval.py:417-436).
+
+Box IoU here follows the COCO protocol (no +1 — areas are w*h of xywh
+boxes), distinct from the model-internal legacy +1 convention.
+"""
+
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from ...utils.rle import rle_iou_matrix
+
+IOU_THRS = np.round(np.arange(0.5, 1.0, 0.05), 2)
+REC_THRS = np.linspace(0.0, 1.0, 101)
+AREA_RANGES = {
+    "all": (0.0, 1e10),
+    "small": (0.0, 32.0**2),
+    "medium": (32.0**2, 96.0**2),
+    "large": (96.0**2, 1e10),
+}
+MAX_DETS = (1, 10, 100)
+
+
+def bbox_iou_xywh(dts: np.ndarray, gts: np.ndarray, iscrowd) -> np.ndarray:
+    """COCO protocol bbox IoU (no +1), dts [D,4] xywh, gts [G,4] xywh."""
+    if len(dts) == 0 or len(gts) == 0:
+        return np.zeros((len(dts), len(gts)))
+    dx1, dy1 = dts[:, 0], dts[:, 1]
+    dx2, dy2 = dts[:, 0] + dts[:, 2], dts[:, 1] + dts[:, 3]
+    gx1, gy1 = gts[:, 0], gts[:, 1]
+    gx2, gy2 = gts[:, 0] + gts[:, 2], gts[:, 1] + gts[:, 3]
+    da = dts[:, 2] * dts[:, 3]
+    ga = gts[:, 2] * gts[:, 3]
+    iw = np.clip(
+        np.minimum(dx2[:, None], gx2[None]) - np.maximum(dx1[:, None], gx1[None]),
+        0,
+        None,
+    )
+    ih = np.clip(
+        np.minimum(dy2[:, None], gy2[None]) - np.maximum(dy1[:, None], gy1[None]),
+        0,
+        None,
+    )
+    inter = iw * ih
+    union = np.where(
+        np.asarray(iscrowd)[None, :],
+        da[:, None],
+        da[:, None] + ga[None, :] - inter,
+    )
+    return inter / np.maximum(union, 1e-10)
+
+
+class CocoStyleEvaluator:
+    """Accumulates per-image detections and computes COCO metrics.
+
+    Ground truth comes from a CocoIndex; detections are dicts:
+      {image_id, category_id, bbox (xywh), score, segmentation (RLE,
+       optional)}.
+    """
+
+    def __init__(self, coco_index, iou_type: str = "bbox"):
+        self.coco = coco_index
+        self.iou_type = iou_type
+        self.detections: List[dict] = []
+
+    def update(self, detections: Sequence[dict]):
+        self.detections.extend(detections)
+
+    # -- core matching ---------------------------------------------------
+
+    def _evaluate_img(self, dts, gts, area_rng, max_det):
+        at0, at1 = area_rng
+        gt_ignore = np.array(
+            [
+                bool(g.get("iscrowd", 0))
+                or not (at0 <= g.get("area", 0) <= at1)
+                for g in gts
+            ]
+        )
+        order_g = np.argsort(gt_ignore, kind="stable")
+        gts = [gts[i] for i in order_g]
+        gt_ignore = gt_ignore[order_g]
+        iscrowd = [bool(g.get("iscrowd", 0)) for g in gts]
+
+        dts = sorted(dts, key=lambda d: -d["score"])[:max_det]
+        if self.iou_type == "segm":
+            ious = rle_iou_matrix(
+                [d["segmentation"] for d in dts],
+                [g["segmentation"] for g in gts],
+                iscrowd,
+            )
+        else:
+            ious = bbox_iou_xywh(
+                np.asarray([d["bbox"] for d in dts], np.float64).reshape(
+                    -1, 4
+                ),
+                np.asarray([g["bbox"] for g in gts], np.float64).reshape(
+                    -1, 4
+                ),
+                iscrowd,
+            )
+
+        T, D, G = len(IOU_THRS), len(dts), len(gts)
+        dt_match = np.zeros((T, D), np.int64)
+        gt_match = np.zeros((T, G), np.int64)
+        dt_ignore = np.zeros((T, D), bool)
+        for ti, t in enumerate(IOU_THRS):
+            for di in range(D):
+                best_iou = min(t, 1 - 1e-10)
+                m = -1
+                for gi in range(G):
+                    if gt_match[ti, gi] and not iscrowd[gi]:
+                        continue
+                    if m > -1 and not gt_ignore[m] and gt_ignore[gi]:
+                        break
+                    if ious[di, gi] < best_iou:
+                        continue
+                    best_iou = ious[di, gi]
+                    m = gi
+                if m == -1:
+                    continue
+                dt_match[ti, di] = 1
+                gt_match[ti, m] = 1
+                dt_ignore[ti, di] = gt_ignore[m]
+        # unmatched dts outside the area range are ignored
+        dt_areas = np.array(
+            [d["bbox"][2] * d["bbox"][3] for d in dts]
+        )
+        out_of_range = (dt_areas < at0) | (dt_areas > at1)
+        dt_ignore |= (~dt_match.astype(bool)) & out_of_range[None, :]
+        scores = np.array([d["score"] for d in dts])
+        n_gt = int((~gt_ignore).sum())
+        return scores, dt_match.astype(bool), dt_ignore, n_gt
+
+    def accumulate(self) -> Dict:
+        cat_ids = self.coco.get_cat_ids()
+        img_ids = self.coco.get_img_ids()
+        dts_by_img_cat: Dict[Tuple, List[dict]] = {}
+        for d in self.detections:
+            dts_by_img_cat.setdefault(
+                (d["image_id"], d["category_id"]), []
+            ).append(d)
+
+        T, R = len(IOU_THRS), len(REC_THRS)
+        K, A, M = len(cat_ids), len(AREA_RANGES), len(MAX_DETS)
+        precision = -np.ones((T, R, K, A, M))
+        recall = -np.ones((T, K, A, M))
+
+        for ki, cat in enumerate(cat_ids):
+            per_area_results = {a: [] for a in AREA_RANGES}
+            gts_by_img = {}
+            for img in img_ids:
+                gts_by_img[img] = [
+                    g
+                    for g in self.coco.load_anns_for_image(img)
+                    if g["category_id"] == cat
+                ]
+            for ai, (aname, arng) in enumerate(AREA_RANGES.items()):
+                for mi, max_det in enumerate(MAX_DETS):
+                    all_scores, all_tp, all_ig = [], [], []
+                    npig = 0
+                    for img in img_ids:
+                        gts = gts_by_img[img]
+                        dts = dts_by_img_cat.get((img, cat), [])
+                        if not gts and not dts:
+                            continue
+                        scores, match, ignore, n_gt = self._evaluate_img(
+                            dts, gts, arng, max_det
+                        )
+                        all_scores.append(scores)
+                        all_tp.append(match)
+                        all_ig.append(ignore)
+                        npig += n_gt
+                    if npig == 0:
+                        continue
+                    if all_scores:
+                        scores = np.concatenate(all_scores)
+                        order = np.argsort(-scores, kind="mergesort")
+                        tp = np.concatenate(all_tp, axis=1)[:, order]
+                        ig = np.concatenate(all_ig, axis=1)[:, order]
+                    else:
+                        tp = np.zeros((T, 0), bool)
+                        ig = np.zeros((T, 0), bool)
+                    tps = np.cumsum(tp & ~ig, axis=1).astype(np.float64)
+                    fps = np.cumsum(~tp & ~ig, axis=1).astype(np.float64)
+                    for ti in range(T):
+                        rc = tps[ti] / npig
+                        pr = tps[ti] / np.maximum(tps[ti] + fps[ti], 1e-10)
+                        recall[ti, ki, ai, mi] = rc[-1] if len(rc) else 0.0
+                        # monotone interpolation from the right
+                        pr = pr.tolist()
+                        for i in range(len(pr) - 1, 0, -1):
+                            pr[i - 1] = max(pr[i - 1], pr[i])
+                        inds = np.searchsorted(rc, REC_THRS, side="left")
+                        q = np.zeros(R)
+                        for ri, pi in enumerate(inds):
+                            if pi < len(pr):
+                                q[ri] = pr[pi]
+                        precision[ti, :, ki, ai, mi] = q
+        self._precision = precision
+        self._recall = recall
+        self._cat_ids = cat_ids
+        return {"precision": precision, "recall": recall}
+
+    # -- summaries -------------------------------------------------------
+
+    def _ap(self, iou_thr=None, area="all", max_det=100) -> float:
+        ai = list(AREA_RANGES).index(area)
+        mi = MAX_DETS.index(max_det)
+        p = self._precision[:, :, :, ai, mi]
+        if iou_thr is not None:
+            ti = int(np.where(np.isclose(IOU_THRS, iou_thr))[0][0])
+            p = p[ti : ti + 1]
+        valid = p[p > -1]
+        return float(valid.mean()) if valid.size else -1.0
+
+    def _ar(self, area="all", max_det=100) -> float:
+        ai = list(AREA_RANGES).index(area)
+        mi = MAX_DETS.index(max_det)
+        r = self._recall[:, :, ai, mi]
+        valid = r[r > -1]
+        return float(valid.mean()) if valid.size else -1.0
+
+    def summarize(self) -> Dict[str, float]:
+        return {
+            "AP": self._ap(),
+            "AP50": self._ap(iou_thr=0.5),
+            "AP75": self._ap(iou_thr=0.75),
+            "APs": self._ap(area="small"),
+            "APm": self._ap(area="medium"),
+            "APl": self._ap(area="large"),
+            "AR@1": self._ar(max_det=1),
+            "AR@10": self._ar(max_det=10),
+            "AR@100": self._ar(max_det=100),
+            "ARs": self._ar(area="small"),
+            "ARm": self._ar(area="medium"),
+            "ARl": self._ar(area="large"),
+        }
+
+    def per_class_ap50(self) -> Dict[int, float]:
+        """Per-category AP50 (reference coco_eval.py:378-395)."""
+        ti = int(np.where(np.isclose(IOU_THRS, 0.5))[0][0])
+        ai = list(AREA_RANGES).index("all")
+        mi = MAX_DETS.index(100)
+        out = {}
+        for ki, cat in enumerate(self._cat_ids):
+            p = self._precision[ti, :, ki, ai, mi]
+            valid = p[p > -1]
+            out[cat] = float(valid.mean()) if valid.size else float("nan")
+        return out
+
+    def per_split_ap50(
+        self, class_splits: Dict[str, List[int]]
+    ) -> Dict[str, float]:
+        """Seen/unseen split AP50 (coco_eval.py:396-404)."""
+        per_class = self.per_class_ap50()
+        out = {}
+        for split, cat_ids in class_splits.items():
+            vals = [
+                per_class[c]
+                for c in cat_ids
+                if c in per_class and not np.isnan(per_class[c])
+            ]
+            out[f"AP50_split_{split}"] = (
+                float(np.mean(vals)) if vals else float("nan")
+            )
+        return out
+
+
+def check_expected_results(
+    results: Dict[str, float],
+    expected: Sequence,
+    sigma_tol: float,
+) -> List[str]:
+    """TEST.EXPECTED_RESULTS regression hook (coco_eval.py:417-436):
+    entries (task, metric, mean, std); returns a list of FAIL messages
+    (empty = pass)."""
+    failures = []
+    for entry in expected:
+        task, metric, mean, std = entry
+        key = f"{task}/{metric}" if f"{task}/{metric}" in results else metric
+        actual = results.get(key)
+        if actual is None:
+            failures.append(f"missing metric {task}/{metric}")
+            continue
+        lo, hi = mean - sigma_tol * std, mean + sigma_tol * std
+        if not (lo <= actual <= hi):
+            failures.append(
+                f"{task}/{metric} = {actual:.4f} outside "
+                f"[{lo:.4f}, {hi:.4f}]"
+            )
+    return failures

@@ -1,0 +1,92 @@
+"""Converts model outputs to COCO-format results.
+
+Re-design of prepare_for_coco_detection / prepare_for_coco_segmentation
+(reference: data/datasets/evaluation/coco/coco_eval.py:77-146): rescale
+padded-resolution detections back to original image size, xyxy(+1) ->
+xywh, paste 14x14 mask probabilities into the image frame (host-side
+Masker numerics, ops/masks.paste_masks_np) and RLE-encode.
+"""
+
+from typing import Dict, List, Optional
+
+import numpy as np
+
+from ...core.boxes import TO_REMOVE
+from ...ops.masks import paste_masks_np
+from ...utils.rle import encode_mask
+
+
+def detections_to_coco_results(
+    boxes: np.ndarray,
+    scores: np.ndarray,
+    labels: np.ndarray,
+    valid: np.ndarray,
+    mask_probs: Optional[np.ndarray],
+    image_id: int,
+    input_hw,
+    original_hw,
+    contiguous_to_json: Dict[int, int],
+    mask_threshold: float = 0.5,
+) -> List[dict]:
+    """One image's padded detections -> list of COCO result dicts."""
+    keep = np.asarray(valid)
+    boxes = np.asarray(boxes)[keep]
+    scores = np.asarray(scores)[keep]
+    labels = np.asarray(labels)[keep]
+    if mask_probs is not None:
+        mask_probs = np.asarray(mask_probs)[keep]
+
+    ih, iw = float(input_hw[0]), float(input_hw[1])
+    oh, ow = float(original_hw[0]), float(original_hw[1])
+    sx, sy = ow / iw, oh / ih
+    boxes_orig = boxes * np.array([sx, sy, sx, sy], np.float32)
+
+    results = []
+    masks = None
+    if mask_probs is not None and len(boxes_orig):
+        masks = paste_masks_np(
+            mask_probs,
+            boxes_orig,
+            (int(oh), int(ow)),
+            threshold=mask_threshold,
+        )
+    for i in range(len(boxes_orig)):
+        x1, y1, x2, y2 = boxes_orig[i]
+        res = {
+            "image_id": int(image_id),
+            "category_id": int(
+                contiguous_to_json.get(int(labels[i]), int(labels[i]))
+            ),
+            "bbox": [
+                float(x1),
+                float(y1),
+                float(x2 - x1 + TO_REMOVE),
+                float(y2 - y1 + TO_REMOVE),
+            ],
+            "score": float(scores[i]),
+        }
+        if masks is not None:
+            res["segmentation"] = encode_mask(masks[i])
+        results.append(res)
+    return results
+
+
+def attach_gt_segmentations(coco_index):
+    """Decodes/attaches RLE for GT annotations lacking one (polygon GT)
+    so segm evaluation can IoU them."""
+    from ...utils.rle import coco_segmentation_to_mask
+
+    for img_id, anns in coco_index.img_to_anns.items():
+        info = coco_index.imgs[img_id]
+        for a in anns:
+            seg = a.get("segmentation")
+            if seg is None:
+                continue
+            if isinstance(seg, dict) and isinstance(
+                seg.get("counts"), str
+            ):
+                continue  # already compressed RLE
+            mask = coco_segmentation_to_mask(
+                seg, info["height"], info["width"]
+            )
+            a["segmentation"] = encode_mask(mask)
