@@ -83,13 +83,19 @@ def main():
         ),
     }
 
-    params = model.init(
+    # jit the init: eager init would dispatch thousands of tiny ops
+    # through the device tunnel
+    init_fn = jax.jit(
+        lambda rngs, im, sz, ce, tg: model.init(
+            rngs, im, sz, ce, tg, train=True
+        )
+    )
+    params = init_fn(
         {"params": jax.random.PRNGKey(0), "sampler": jax.random.PRNGKey(1)},
         batch["images"][:1],
         batch["image_sizes"][:1],
         batch["class_embeddings"],
         {k: batch[k][:1] for k in ("gt_boxes", "gt_labels", "gt_valid", "gt_masks")},
-        train=True,
     )
     tx, _ = make_optimizer(
         cfg, params["params"], frozen_prefixes_from_cfg(cfg)

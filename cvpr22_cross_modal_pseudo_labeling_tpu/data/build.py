@@ -48,16 +48,21 @@ def build_dataset(cfg, dataset_names, transforms, is_train: bool):
     concatenated for training."""
     from . import paths_catalog
 
-    datasets = []
-    for name in dataset_names:
+    def instantiate(name):
         entry = paths_catalog.DatasetCatalog.get(name)
-        factory_name = cfg.DATASETS.DATASET_CLASS or entry["factory"]
-        factory = DATASET_CLASSES[factory_name]
+        factory_name = entry["factory"]
         args = dict(entry["args"])
+        if factory_name == "ConceptualOpenImagesDetDataset":
+            det = instantiate(args.pop("det_name"))
+            cap = instantiate(args.pop("cap_name"))
+            return ConceptualOpenImagesDetDataset(det, cap)
+        factory = DATASET_CLASSES[factory_name]
         args["transforms"] = transforms
         args["extra_args"] = dict(cfg.DATASETS.DATASET_ARGS)
         args.setdefault("remove_images_without_annotations", is_train)
-        datasets.append(factory(**args))
+        return factory(**args)
+
+    datasets = [instantiate(name) for name in dataset_names]
     if not is_train:
         return datasets
     return [datasets[0] if len(datasets) == 1 else ConcatDataset(datasets)]

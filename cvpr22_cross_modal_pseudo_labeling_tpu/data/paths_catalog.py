@@ -88,6 +88,14 @@ class DatasetCatalog:
                 root="conceptual/images",
             ),
         },
+        # mixture dataset built from two catalog entries
+        "conceptual_openimages_train": {
+            "factory": "ConceptualOpenImagesDetDataset",
+            "args": dict(
+                det_name="openimages_zeroshot_train",
+                cap_name="conceptual_cap_train",
+            ),
+        },
     }
 
     @staticmethod

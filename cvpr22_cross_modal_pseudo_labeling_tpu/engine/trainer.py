@@ -1,0 +1,181 @@
+"""Training driver.
+
+Re-design of reference engine/trainer.py:54-267 (do_train): the
+iteration body is one compiled train step (engine/train_step.py); the
+host loop only feeds sharded batches, logs windowed metrics with ETA,
+checkpoints, and runs periodic eval.  Loss reduction for logging
+(reduce_loss_dict, trainer.py:19-41) already happened inside the step
+via GSPMD; empty-target batches need no skip (trainer.py:96-98) because
+masked losses handle them.
+"""
+
+import datetime
+import os
+import time
+from typing import Callable, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..utils.logger import get_logger
+from ..utils.metric_logger import MetricLogger
+from .checkpoint import save_checkpoint
+from .train_step import batch_shardings
+
+
+class SummaryWriter:
+    """Metrics sink: JSONL always; tf.summary when TensorBoard is
+    available (replaces tensorboardX, train_net.py:223-228)."""
+
+    def __init__(self, log_dir: str):
+        os.makedirs(log_dir, exist_ok=True)
+        self._jsonl = open(
+            os.path.join(log_dir, "metrics.jsonl"), "a", buffering=1
+        )
+        self._tf = None
+        try:
+            import tensorflow as tf
+
+            self._tf = tf.summary.create_file_writer(log_dir)
+        except Exception:
+            pass
+
+    def write(self, step: int, metrics: Dict[str, float]):
+        import json
+
+        self._jsonl.write(
+            json.dumps({"step": step, **{k: float(v) for k, v in metrics.items()}})
+            + "\n"
+        )
+        if self._tf is not None:
+            import tensorflow as tf
+
+            with self._tf.as_default():
+                for k, v in metrics.items():
+                    tf.summary.scalar(k, float(v), step=step)
+
+    def close(self):
+        self._jsonl.close()
+
+
+def do_train(
+    step_fn: Callable,
+    state,
+    loader,
+    mesh,
+    cfg,
+    extra_batch: Optional[Dict[str, np.ndarray]] = None,
+    eval_fn: Optional[Callable] = None,
+    output_dir: Optional[str] = None,
+    start_iter: int = 0,
+):
+    """Runs the training loop; returns the final state.
+
+    ``extra_batch`` holds batch-invariant arrays merged into every batch
+    (class-embedding matrices).  ``eval_fn(state, iteration)`` is called
+    every TEST_PERIOD.
+    """
+    logger = get_logger("trainer")
+    meters = MetricLogger()
+    output_dir = output_dir or cfg.OUTPUT_DIR
+    writer = (
+        SummaryWriter(os.path.join(output_dir, "tb"))
+        if jax.process_index() == 0
+        else None
+    )
+    max_iter = cfg.SOLVER.MAX_ITER
+    log_period = cfg.SOLVER.LOG_PERIOD
+    ckpt_period = cfg.SOLVER.CHECKPOINT_PERIOD
+    test_period = cfg.SOLVER.TEST_PERIOD
+
+    shardings = None
+    iteration = start_iter
+    end = time.perf_counter()
+    for batch, _ in loader:
+        if extra_batch:
+            batch = {**batch, **extra_batch}
+        if shardings is None:
+            shardings = batch_shardings(batch, mesh)
+        batch = {
+            k: jax.device_put(np.asarray(v), shardings[k])
+            for k, v in batch.items()
+            if isinstance(v, np.ndarray)
+        }
+        data_time = time.perf_counter() - end
+
+        state, metrics = step_fn(state, batch)
+        iteration += 1
+
+        if iteration % log_period == 0 or iteration == max_iter:
+            metrics = {
+                k: float(v)
+                for k, v in jax.device_get(metrics).items()
+                if np.ndim(v) == 0
+            }
+            batch_time = time.perf_counter() - end
+            meters.update(
+                time=batch_time, data=data_time, **metrics
+            )
+            eta = datetime.timedelta(
+                seconds=int(
+                    meters.meters["time"].global_avg
+                    * (max_iter - iteration)
+                )
+            )
+            logger.info(
+                "iter %d/%d eta %s %s lr-step done",
+                iteration,
+                max_iter,
+                eta,
+                str(meters),
+            )
+            if writer:
+                writer.write(iteration, metrics)
+        if ckpt_period and iteration % ckpt_period == 0:
+            if jax.process_index() == 0 and output_dir:
+                save_checkpoint(
+                    output_dir,
+                    {"state": jax.device_get(state), "iteration": iteration},
+                    iteration,
+                )
+        if test_period and eval_fn and iteration % test_period == 0:
+            eval_fn(state, iteration)
+        end = time.perf_counter()
+        if iteration >= max_iter:
+            break
+
+    if jax.process_index() == 0 and output_dir:
+        save_checkpoint(
+            output_dir,
+            {"state": jax.device_get(state), "iteration": iteration},
+            iteration,
+        )
+    if writer:
+        writer.close()
+    return state
+
+
+def compute_class_name_embeddings(
+    model, params, class_names, tokenizer, token_len: int = 8
+) -> np.ndarray:
+    """BERT-table mean embeddings for a list of class names
+    (st_generalized_rcnn.py:202-209 extract_emb), computed once on
+    device.  Returns [C, emb_dim] L2-normalized (zero rows for empty
+    names, e.g. background)."""
+    ids = np.zeros((len(class_names), token_len), np.int32)
+    mask = np.zeros((len(class_names), token_len), np.int32)
+    for i, name in enumerate(class_names):
+        if not name or name == "bg":
+            continue
+        enc = tokenizer.encode(name, token_len)
+        real = enc["attention_mask"] * (1 - enc["special_tokens_mask"])
+        ids[i] = enc["input_ids"]
+        mask[i] = real
+    out = model.apply(
+        params,
+        jnp.asarray(ids),
+        jnp.asarray(mask),
+        method=type(model).extract_word_embeddings,
+    )
+    return np.asarray(out)

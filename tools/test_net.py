@@ -1,0 +1,121 @@
+#!/usr/bin/env python
+"""Evaluation CLI (mirrors reference tools/test_net.py:27-114):
+``--config-file X.yaml [--ckpt path] KEY VALUE ...``."""
+
+import argparse
+import os
+import sys
+
+sys.path.insert(
+    0, os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+)
+
+
+def main():
+    p = argparse.ArgumentParser(description="TPU open-vocab detection eval")
+    p.add_argument("--config-file", default="", metavar="FILE")
+    p.add_argument(
+        "--ckpt", default=None,
+        help="checkpoint to evaluate (default: OUTPUT_DIR/last_checkpoint)",
+    )
+    p.add_argument("opts", nargs=argparse.REMAINDER, default=None)
+    args = p.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from cvpr22_cross_modal_pseudo_labeling_tpu.config import get_default_cfg
+    from cvpr22_cross_modal_pseudo_labeling_tpu.data import make_data_loader
+    from cvpr22_cross_modal_pseudo_labeling_tpu.engine.checkpoint import (
+        apply_reference_key_surgery,
+        import_torch_state_dict,
+        latest_checkpoint,
+        load_checkpoint,
+        load_torch_checkpoint,
+    )
+    from cvpr22_cross_modal_pseudo_labeling_tpu.engine.inference import (
+        inference,
+    )
+    from cvpr22_cross_modal_pseudo_labeling_tpu.models.detector import (
+        build_detection_model,
+    )
+    from cvpr22_cross_modal_pseudo_labeling_tpu.utils.logger import (
+        setup_logger,
+    )
+
+    cfg = get_default_cfg()
+    if args.config_file:
+        cfg.merge_from_file(args.config_file)
+    if args.opts:
+        cfg.merge_from_list(args.opts)
+    cfg.freeze()
+    logger = setup_logger("cmpl_tpu", cfg.OUTPUT_DIR, jax.process_index())
+
+    model = build_detection_model(cfg)
+    loaders, datasets = make_data_loader(cfg, is_train=False)
+
+    # initialize params with an eval-shaped example
+    ds0 = datasets[0]
+    sample = ds0[0]
+    images = jnp.asarray(sample["image"][None])
+    sizes = jnp.asarray(
+        np.asarray([sample["image"].shape[:2]], np.int32)
+    )
+    class_emb = getattr(ds0, "class_emb_mtx", None)
+    class_emb = (
+        jnp.asarray(class_emb) if class_emb is not None else None
+    )
+    params = model.init(
+        {"params": jax.random.PRNGKey(0)},
+        images,
+        sizes,
+        class_emb,
+        train=False,
+    )
+
+    ckpt = args.ckpt or latest_checkpoint(cfg.OUTPUT_DIR)
+    if ckpt and os.path.isdir(ckpt):
+        restored = load_checkpoint(ckpt, {"state": None, "iteration": 0})
+        params = restored["state"].params
+        logger.info("loaded orbax checkpoint %s", ckpt)
+    elif cfg.MODEL.WEIGHT and os.path.exists(cfg.MODEL.WEIGHT):
+        sd = load_torch_checkpoint(cfg.MODEL.WEIGHT)
+        sd = apply_reference_key_surgery(
+            sd,
+            backbone_prefix=cfg.MODEL.BACKBONE_PREFIX,
+            load_emb_pred_from_mmss_head=cfg.MODEL.LOAD_EMB_PRED_FROM_MMSS_HEAD,
+            default_mmss_head=cfg.MODEL.MMSS_HEAD.DEFAULT_HEAD,
+            load_classifier=cfg.MODEL.LOAD_CLASSIFIER,
+        )
+        new_params, report = import_torch_state_dict(params["params"], sd)
+        params = {"params": jax.tree_util.tree_map(jnp.asarray, new_params)}
+        logger.info("imported %d torch tensors", report["matched"])
+
+    iou_types = ("bbox",) + (("segm",) if cfg.MODEL.MASK_ON else ())
+    for name, loader, dataset in zip(cfg.DATASETS.TEST, loaders, datasets):
+        metrics = inference(
+            model,
+            params,
+            loader,
+            dataset,
+            iou_types=iou_types,
+            expected_results=cfg.TEST.EXPECTED_RESULTS,
+            expected_results_sigma_tol=cfg.TEST.EXPECTED_RESULTS_SIGMA_TOL,
+            output_file=os.path.join(
+                cfg.OUTPUT_DIR, f"predictions_{name}.json"
+            ),
+        )
+        logger.info(
+            "eval[%s]: %s",
+            name,
+            {
+                k: round(v, 4)
+                for k, v in metrics.items()
+                if isinstance(v, float) and "AP50_class" not in k
+            },
+        )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,260 @@
+#!/usr/bin/env python
+"""Training CLI.
+
+Mirrors the argparse surface of the reference tools/train_net.py:162-237
+(``--config-file X.yaml [--skip-test] KEY VALUE ...``).  One process per
+host; devices on a host form (part of) the data mesh — there is no
+torch.distributed.launch equivalent because SPMD replaces
+one-process-per-accelerator (jax.distributed.initialize is called
+automatically under multi-host env vars).
+"""
+
+import argparse
+import os
+import sys
+
+sys.path.insert(
+    0, os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+)
+
+import numpy as np
+
+
+def parse_args():
+    p = argparse.ArgumentParser(description="TPU open-vocab detection training")
+    p.add_argument("--config-file", default="", metavar="FILE")
+    p.add_argument("--skip-test", action="store_true")
+    p.add_argument(
+        "opts", nargs=argparse.REMAINDER, default=None,
+        help="config overrides: KEY VALUE pairs",
+    )
+    return p.parse_args()
+
+
+def main():
+    args = parse_args()
+    import jax
+
+    if "JAX_COORDINATOR_ADDRESS" in os.environ:
+        jax.distributed.initialize()
+
+    from cvpr22_cross_modal_pseudo_labeling_tpu.config import get_default_cfg
+    from cvpr22_cross_modal_pseudo_labeling_tpu.utils.logger import setup_logger
+
+    cfg = get_default_cfg()
+    if args.config_file:
+        cfg.merge_from_file(args.config_file)
+    if args.opts:
+        cfg.merge_from_list(args.opts)
+    cfg.freeze()
+
+    output_dir = cfg.OUTPUT_DIR
+    os.makedirs(output_dir, exist_ok=True)
+    logger = setup_logger(
+        "cmpl_tpu", output_dir, jax.process_index()
+    )
+    logger.info("devices: %s", jax.devices())
+    logger.info("config:\n%s", cfg)
+
+    state, model = train(cfg, logger)
+    if not args.skip_test and cfg.TEST.DO_EVAL:
+        run_test(cfg, model, state, logger)
+
+
+def train(cfg, logger):
+    import jax
+    import jax.numpy as jnp
+
+    from cvpr22_cross_modal_pseudo_labeling_tpu.data import make_data_loader
+    from cvpr22_cross_modal_pseudo_labeling_tpu.data.collate import (
+        build_tokenizer,
+    )
+    from cvpr22_cross_modal_pseudo_labeling_tpu.data.parser import (
+        load_lvis_categories,
+        normalize_class_names,
+    )
+    from cvpr22_cross_modal_pseudo_labeling_tpu.engine.checkpoint import (
+        latest_checkpoint,
+        load_checkpoint,
+        apply_reference_key_surgery,
+        import_torch_state_dict,
+        load_torch_checkpoint,
+    )
+    from cvpr22_cross_modal_pseudo_labeling_tpu.engine.optimizer import (
+        frozen_prefixes_from_cfg,
+        make_optimizer,
+    )
+    from cvpr22_cross_modal_pseudo_labeling_tpu.engine.train_step import (
+        build_train_step,
+        create_train_state,
+        jit_train_step,
+    )
+    from cvpr22_cross_modal_pseudo_labeling_tpu.engine.trainer import (
+        compute_class_name_embeddings,
+        do_train,
+    )
+    from cvpr22_cross_modal_pseudo_labeling_tpu.models.detector import (
+        build_detection_model,
+    )
+    from cvpr22_cross_modal_pseudo_labeling_tpu.parallel.mesh import make_mesh
+
+    meta_arch = cfg.MODEL.META_ARCHITECTURE
+    model = build_detection_model(cfg)
+    loader, dataset = make_data_loader(
+        cfg,
+        is_train=True,
+        is_distributed=jax.process_count() > 1,
+        rank=jax.process_index(),
+        num_replicas=jax.process_count(),
+    )
+
+    # one example batch to initialize parameters
+    batch_iter = iter(loader)
+    example_batch, _ = next(batch_iter)
+    extra_batch = {}
+    class_emb = getattr(dataset, "class_emb_mtx", None)
+    if class_emb is not None:
+        extra_batch["class_embeddings"] = np.asarray(class_emb, np.float32)
+
+    rngs = {
+        "params": jax.random.PRNGKey(0),
+        "sampler": jax.random.PRNGKey(1),
+        "uncertainty": jax.random.PRNGKey(2),
+        "dropout": jax.random.PRNGKey(3),
+        "mlm": jax.random.PRNGKey(4),
+        "alignment": jax.random.PRNGKey(5),
+    }
+    images = jnp.asarray(example_batch["images"][:1])
+    sizes = jnp.asarray(example_batch["image_sizes"][:1])
+    if meta_arch == "GeneralizedRCNN":
+        targets = {
+            k: jnp.asarray(example_batch[k][:1])
+            for k in ("gt_boxes", "gt_labels", "gt_valid", "gt_masks")
+        }
+        params = model.init(
+            rngs, images, sizes,
+            jnp.asarray(extra_batch.get("class_embeddings")),
+            targets, train=True,
+        )
+    elif meta_arch == "STGeneralizedRCNN":
+        small = {
+            k: jnp.asarray(v[:1])
+            for k, v in example_batch.items()
+            if isinstance(v, np.ndarray) and v.ndim >= 1
+            and v.shape[0] == example_batch["images"].shape[0]
+        }
+        lvis_names = normalize_class_names(
+            [c["name"] for c in load_lvis_categories()]
+        )
+        # placeholder until BERT params exist; recomputed below
+        extra_batch["lvis_class_embeddings"] = np.zeros(
+            (len(lvis_names), cfg.MODEL.ROI_BOX_HEAD.EMB_DIM), np.float32
+        )
+        params = model.init(
+            rngs, images, sizes, small,
+            jnp.asarray(extra_batch["class_embeddings"]),
+            jnp.asarray(extra_batch["lvis_class_embeddings"]),
+            train=True,
+        )
+    else:  # MMSS-GCNN
+        captions = {
+            k: jnp.asarray(example_batch[k][:1])
+            for k in ("input_ids", "attention_mask", "special_tokens_mask")
+        }
+        params = model.init(rngs, images, sizes, captions, train=True)
+
+    # weight loading: torch .pth import or orbax resume
+    if cfg.MODEL.WEIGHT and os.path.exists(cfg.MODEL.WEIGHT):
+        sd = load_torch_checkpoint(cfg.MODEL.WEIGHT)
+        sd = apply_reference_key_surgery(
+            sd,
+            backbone_prefix=cfg.MODEL.BACKBONE_PREFIX,
+            load_emb_pred_from_mmss_head=cfg.MODEL.LOAD_EMB_PRED_FROM_MMSS_HEAD,
+            default_mmss_head=cfg.MODEL.MMSS_HEAD.DEFAULT_HEAD,
+            load_classifier=cfg.MODEL.LOAD_CLASSIFIER,
+        )
+        new_params, report = import_torch_state_dict(params["params"], sd)
+        params = dict(params)
+        params["params"] = jax.tree_util.tree_map(jnp.asarray, new_params)
+        logger.info(
+            "imported %d torch tensors (%d source keys unmatched)",
+            report["matched"], len(report["missed_source_keys"]),
+        )
+
+    if meta_arch == "STGeneralizedRCNN":
+        tokenizer = build_tokenizer(cfg)
+        extra_batch["lvis_class_embeddings"] = compute_class_name_embeddings(
+            model, params, lvis_names, tokenizer
+        )
+
+    tx, _ = make_optimizer(
+        cfg, params["params"], frozen_prefixes_from_cfg(cfg, meta_arch)
+    )
+    state = create_train_state(params, tx, jax.random.PRNGKey(42))
+
+    start_iter = 0
+    last = latest_checkpoint(cfg.OUTPUT_DIR)
+    if last and cfg.MODEL.LOAD_TRAINER_STATE:
+        restored = load_checkpoint(
+            last, {"state": jax.device_get(state), "iteration": 0}
+        )
+        state = restored["state"]
+        start_iter = int(restored["iteration"])
+        logger.info("resumed from %s at iteration %d", last, start_iter)
+
+    mesh = make_mesh(cfg.TPU.MESH_AXES, cfg.TPU.MESH_SHAPE)
+    step_fn = jit_train_step(
+        build_train_step(
+            model, tx, meta_arch,
+            grad_accum=cfg.SOLVER.GRADIENT_ACCUMULATION_STEPS,
+        ),
+        mesh,
+        {**example_batch, **extra_batch},
+    )
+    state = do_train(
+        step_fn,
+        state,
+        loader,
+        mesh,
+        cfg,
+        extra_batch=extra_batch,
+        output_dir=cfg.OUTPUT_DIR,
+        start_iter=start_iter,
+    )
+    return state, model
+
+
+def run_test(cfg, model, state, logger):
+    import jax
+
+    from cvpr22_cross_modal_pseudo_labeling_tpu.data import make_data_loader
+    from cvpr22_cross_modal_pseudo_labeling_tpu.engine.inference import (
+        inference,
+    )
+
+    iou_types = ("bbox",) + (("segm",) if cfg.MODEL.MASK_ON else ())
+    loaders, datasets = make_data_loader(cfg, is_train=False)
+    for name, loader, dataset in zip(
+        cfg.DATASETS.TEST, loaders, datasets
+    ):
+        metrics = inference(
+            model,
+            state.params,
+            loader,
+            dataset,
+            iou_types=iou_types,
+            expected_results=cfg.TEST.EXPECTED_RESULTS,
+            expected_results_sigma_tol=cfg.TEST.EXPECTED_RESULTS_SIGMA_TOL,
+            output_file=os.path.join(
+                cfg.OUTPUT_DIR, f"predictions_{name}.json"
+            ),
+        )
+        logger.info("eval[%s]: %s", name, {
+            k: round(v, 4) for k, v in metrics.items()
+            if isinstance(v, float) and not k.startswith("bbox/AP50_class")
+            and not k.startswith("segm/AP50_class")
+        })
+
+
+if __name__ == "__main__":
+    main()
