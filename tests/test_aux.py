@@ -1,0 +1,70 @@
+import json
+
+import numpy as np
+
+from cvpr22_cross_modal_pseudo_labeling_tpu.data.coco_index import CocoIndex
+from cvpr22_cross_modal_pseudo_labeling_tpu.data.evaluation.box_proposals import (
+    evaluate_box_proposals,
+)
+from cvpr22_cross_modal_pseudo_labeling_tpu.engine.bbox_aug import (
+    flip_boxes_np,
+    merge_and_filter,
+)
+
+
+def test_box_proposal_ar(tmp_path):
+    ann = {
+        "images": [{"id": 1, "file_name": "a.jpg", "height": 100, "width": 100}],
+        "annotations": [
+            {"id": 1, "image_id": 1, "category_id": 1,
+             "bbox": [10, 10, 20, 20], "area": 400, "iscrowd": 0},
+            {"id": 2, "image_id": 1, "category_id": 1,
+             "bbox": [60, 60, 20, 20], "area": 400, "iscrowd": 0},
+        ],
+        "categories": [{"id": 1, "name": "x"}],
+    }
+    p = tmp_path / "a.json"
+    p.write_text(json.dumps(ann))
+    idx = CocoIndex(str(p))
+    # one perfect proposal, one miss
+    props = {1: np.array([[10, 10, 29, 29, 0.9]], np.float64)}
+    out = evaluate_box_proposals(props, idx)
+    assert out["num_pos"] == 2
+    assert abs(out["ar"] - 0.5) < 1e-6
+
+    props = {
+        1: np.array(
+            [[10, 10, 29, 29, 0.9], [60, 60, 79, 79, 0.8]], np.float64
+        )
+    }
+    out = evaluate_box_proposals(props, idx)
+    assert abs(out["ar"] - 1.0) < 1e-6
+
+
+def test_flip_boxes_involution():
+    b = np.array([[10.0, 5.0, 30.0, 25.0]])
+    np.testing.assert_allclose(
+        flip_boxes_np(flip_boxes_np(b, 100), 100), b
+    )
+
+
+def test_merge_and_filter_dedups():
+    # identical box from two augmentations: NMS keeps one
+    b = np.array([[10.0, 10.0, 30.0, 30.0]])
+    boxes, scores, labels = merge_and_filter(
+        [b, b + 0.5],
+        [np.array([0.9]), np.array([0.8])],
+        [np.array([1]), np.array([1])],
+    )
+    assert len(boxes) == 1
+    assert scores[0] == 0.9
+
+
+def test_merge_and_filter_classes_independent():
+    b = np.array([[10.0, 10.0, 30.0, 30.0]])
+    boxes, scores, labels = merge_and_filter(
+        [b, b],
+        [np.array([0.9]), np.array([0.8])],
+        [np.array([1]), np.array([2])],
+    )
+    assert len(boxes) == 2
