@@ -22,6 +22,12 @@ A100_REFERENCE_IMGS_PER_SEC = 4.0
 
 def main():
     import jax
+
+    # persistent compilation cache: the first bench run warms it so later
+    # runs (and the driver's) skip the multi-minute detection-graph compile
+    jax.config.update("jax_compilation_cache_dir", "/root/.jax_cache")
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
     import jax.numpy as jnp
 
     from cvpr22_cross_modal_pseudo_labeling_tpu.config import get_default_cfg

@@ -87,6 +87,62 @@ def normalize_rows(x, eps=1e-12):
     )
 
 
+# ---------------------------------------------------------------------------
+# Exemplar memory (st_generalized_rcnn.py:107-177) as a device table.
+#
+# The reference keeps a per-rank python dict {noun: {emb, quality}} and
+# synchronizes it through pickle files on shared storage every 1000
+# iterations (:134-162, trainer.py:255-259).  Here it is a fixed-size
+# [vocab, emb] table living in the train state: updates are pure
+# scatter-max ops inside the jitted step, and under a data-parallel mesh
+# the update already sees the global batch — no file sync, no barrier.
+# The update call is disabled by default, matching the reference HEAD
+# (:325-326 commented out); ``lambda_exemplar`` stays a trainable
+# scalar mixed in by combine_embs either way.
+# ---------------------------------------------------------------------------
+
+def init_exemplar_table(vocab_size: int, emb_dim: int):
+    return {
+        "embs": jnp.zeros((vocab_size, emb_dim), jnp.float32),
+        "quality": jnp.full((vocab_size,), -jnp.inf, jnp.float32),
+        "valid": jnp.zeros((vocab_size,), bool),
+    }
+
+
+def update_exemplar_table(table, labels, scores, embs, valid):
+    """Quality-argmax replacement (update_exemplars, :107-129, SINGLE
+    type): for each vocab slot, keep the highest-quality embedding seen.
+
+    labels [N] int32 (0-based vocab ids); scores [N]; embs [N, d];
+    valid [N]."""
+    v = table["quality"].shape[0]
+    quality = jnp.where(valid, scores, -jnp.inf)  # consistency == 1.0
+    embs = normalize_rows(embs)
+    # best candidate per vocab slot in this batch
+    best_q = (
+        jnp.full((v,), -jnp.inf)
+        .at[jnp.clip(labels, 0, v - 1)]
+        .max(quality)
+    )
+    is_best = (quality == best_q[jnp.clip(labels, 0, v - 1)]) & valid
+    # resolve ties by first occurrence
+    order = jnp.where(is_best, jnp.arange(labels.shape[0]), labels.shape[0])
+    first = (
+        jnp.full((v,), labels.shape[0])
+        .at[jnp.clip(labels, 0, v - 1)]
+        .min(order)
+    )
+    take = jnp.clip(first, 0, labels.shape[0] - 1)
+    cand_emb = embs[take]
+    cand_q = best_q
+    improve = (cand_q > table["quality"]) & (first < labels.shape[0])
+    return {
+        "embs": jnp.where(improve[:, None], cand_emb, table["embs"]),
+        "quality": jnp.where(improve, cand_q, table["quality"]),
+        "valid": table["valid"] | improve,
+    }
+
+
 class STGeneralizedRCNN(nn.Module):
     statics: STStatics
 
@@ -310,6 +366,7 @@ class STGeneralizedRCNN(nn.Module):
         class_embeddings: Optional[jnp.ndarray] = None,
         lvis_class_embeddings: Optional[jnp.ndarray] = None,
         train: bool = False,
+        exemplars: Optional[Dict[str, jnp.ndarray]] = None,
     ):
         s = self.statics
         sb = s.base
@@ -338,7 +395,25 @@ class STGeneralizedRCNN(nn.Module):
             batch["cap_tok_mask"],
             batch["cap_word_valid"],
         )
-        student_cap_embs = self.combine_embs(lvis_class_embeddings)
+        if s.exemplars_enabled and exemplars is not None:
+            flat_valid = (
+                pseudo["valid"] & cap_mask[:, None]
+            ).reshape(-1)
+            exemplars = update_exemplar_table(
+                exemplars,
+                batch["cap_labels"].reshape(-1),
+                pseudo["scores"].reshape(-1),
+                pseudo["embs"].reshape(pseudo["embs"].shape[0] * pseudo["embs"].shape[1], -1),
+                flat_valid,
+            )
+            info["exemplars"] = exemplars
+            student_cap_embs = self.combine_embs(
+                lvis_class_embeddings,
+                exemplar_embs=exemplars["embs"],
+                exemplar_valid=exemplars["valid"],
+            )
+        else:
+            student_cap_embs = self.combine_embs(lvis_class_embeddings)
         cls_p, box_p, mask_p, avg_unc = self._student_branch_losses(
             feats,
             eval_proposals,

@@ -51,11 +51,23 @@ def pool_rois(
     scales: Sequence[float],
     sampling_ratio: int,
     roi_chunk: int = 64,
+    use_mxu: bool = True,
 ) -> jnp.ndarray:
     """Pools [B, S, 4] boxes against one or more feature levels.
 
-    Returns [B*S, P, Q, C].
+    Returns [B*S, P, Q, C].  The single-level hot path uses the
+    gather-free MXU formulation (ops/roi_align_mxu.py); the gather
+    formulation remains for multi-level FPN and as the golden path.
     """
+    if len(features) == 1 and use_mxu:
+        from ...ops.roi_align_mxu import roi_align_mxu
+
+        out = roi_align_mxu(
+            features[0], boxes, output_size, scales[0], sampling_ratio,
+            roi_chunk=min(roi_chunk, boxes.shape[1]),
+        )
+        b, s = boxes.shape[:2]
+        return out.reshape(b * s, *out.shape[2:])
     rois = boxes_to_rois(boxes)
     if len(features) == 1:
         return roi_align(

@@ -105,45 +105,58 @@ def roi_align(
     ph = jnp.arange(P, dtype=dtype)
     pw = jnp.arange(Q, dtype=dtype)
 
+    n_samples = s_cap_h * s_cap_w
+
     def pool_chunk(chunk):
         (b_i, s_h, s_w, bn_h, bn_w, g_h, g_w, cnt) = chunk
         r = b_i.shape[0]
-        acc = jnp.zeros((r, P, Q, C), dtype)
-        for iy in range(s_cap_h):
-            # y sample position: start + ph*bin + (iy+.5)*bin/grid
+
+        def sample_step(acc, s_idx):
+            # sample position (iy, ix) derived from the loop counter —
+            # a scan keeps the HLO a single body instead of
+            # s_cap_h*s_cap_w unrolled gather groups (compile time) and
+            # stays reverse-differentiable.
+            iy = (s_idx // s_cap_w).astype(dtype)
+            ix = (s_idx % s_cap_w).astype(dtype)
             y = (
                 s_h[:, None]
                 + ph[None, :] * bn_h[:, None]
                 + (iy + 0.5) * bn_h[:, None] / g_h[:, None].astype(dtype)
             )  # [r, P]
             y_lo, y_hi, wy_lo, wy_hi, y_in = _bilinear_weights(y, H)
-            y_mask = y_in & (iy < g_h[:, None])  # [r, P]
-            for ix in range(s_cap_w):
-                x = (
-                    s_w[:, None]
-                    + pw[None, :] * bn_w[:, None]
-                    + (ix + 0.5) * bn_w[:, None] / g_w[:, None].astype(dtype)
-                )  # [r, Q]
-                x_lo, x_hi, wx_lo, wx_hi, x_in = _bilinear_weights(x, W)
-                x_mask = x_in & (ix < g_w[:, None])  # [r, Q]
+            y_mask = y_in & (iy < g_h[:, None].astype(dtype))
+            x = (
+                s_w[:, None]
+                + pw[None, :] * bn_w[:, None]
+                + (ix + 0.5) * bn_w[:, None] / g_w[:, None].astype(dtype)
+            )  # [r, Q]
+            x_lo, x_hi, wx_lo, wx_hi, x_in = _bilinear_weights(x, W)
+            x_mask = x_in & (ix < g_w[:, None].astype(dtype))
 
-                bidx = b_i[:, None, None]
-                f00 = features[bidx, y_lo[:, :, None], x_lo[:, None, :]]
-                f01 = features[bidx, y_lo[:, :, None], x_hi[:, None, :]]
-                f10 = features[bidx, y_hi[:, :, None], x_lo[:, None, :]]
-                f11 = features[bidx, y_hi[:, :, None], x_hi[:, None, :]]
-                w00 = wy_lo[:, :, None] * wx_lo[:, None, :]
-                w01 = wy_lo[:, :, None] * wx_hi[:, None, :]
-                w10 = wy_hi[:, :, None] * wx_lo[:, None, :]
-                w11 = wy_hi[:, :, None] * wx_hi[:, None, :]
-                val = (
-                    w00[..., None] * f00
-                    + w01[..., None] * f01
-                    + w10[..., None] * f10
-                    + w11[..., None] * f11
-                )
-                mask = (y_mask[:, :, None] & x_mask[:, None, :]).astype(dtype)
-                acc = acc + val * mask[..., None]
+            bidx = b_i[:, None, None]
+            f00 = features[bidx, y_lo[:, :, None], x_lo[:, None, :]]
+            f01 = features[bidx, y_lo[:, :, None], x_hi[:, None, :]]
+            f10 = features[bidx, y_hi[:, :, None], x_lo[:, None, :]]
+            f11 = features[bidx, y_hi[:, :, None], x_hi[:, None, :]]
+            w00 = wy_lo[:, :, None] * wx_lo[:, None, :]
+            w01 = wy_lo[:, :, None] * wx_hi[:, None, :]
+            w10 = wy_hi[:, :, None] * wx_lo[:, None, :]
+            w11 = wy_hi[:, :, None] * wx_hi[:, None, :]
+            val = (
+                w00[..., None] * f00
+                + w01[..., None] * f01
+                + w10[..., None] * f10
+                + w11[..., None] * f11
+            )
+            mask = (y_mask[:, :, None] & x_mask[:, None, :]).astype(dtype)
+            return acc + val * mask[..., None], None
+
+        acc, _ = jax.lax.scan(
+            sample_step,
+            jnp.zeros((r, P, Q, C), dtype),
+            jnp.arange(n_samples),
+            unroll=min(n_samples, 2),
+        )
         return acc / cnt[:, None, None, None]
 
     # Chunk the roi dimension so [r, P, Q, C] intermediates stay bounded.
