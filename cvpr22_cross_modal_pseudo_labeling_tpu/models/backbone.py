@@ -74,9 +74,17 @@ class ResNetFPNBackbone(nn.Module):
             dtype=self.dtype,
             name="body",
         )(x)
+        feats = [feats[k] for k in ("C2", "C3", "C4", "C5")]
         c = self.res2_out_channels
+        if self.retinanet:
+            # RetinaNet pyramids start at P3 (C2 skipped, reference
+            # backbone.py:48-71 passes in_channels 0 for C2)
+            feats = feats[1:]
+            in_list = [c * 2, c * 4, c * 8]
+        else:
+            in_list = [c, c * 2, c * 4, c * 8]
         return FPN(
-            in_channels_list=[c, c * 2, c * 4, c * 8],
+            in_channels_list=in_list,
             out_channels=self.out_channels,
             use_gn=self.use_gn,
             use_relu=self.use_relu,
