@@ -1,0 +1,67 @@
+"""WSDDN weakly-supervised detection head (parity component).
+
+Re-design of reference modeling/roi_heads/wsddn_head/* (enabled by
+MODEL.ROI_BOX_HEAD.WSDDN, box_head.py:88-89): two parallel streams over
+pooled RoI features — a classification stream softmaxed over classes
+and a detection stream softmaxed over proposals — multiplied into
+per-proposal class scores; image-level scores are the proposal sum,
+trained with binary CE against image-level labels.
+"""
+
+from typing import Any, Optional, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from ...ops.losses import binary_cross_entropy_with_logits
+
+
+class WSDDNHead(nn.Module):
+    num_classes: int  # foreground classes (no background)
+    hidden_dim: int = 1024
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(
+        self,
+        pooled_vec: jnp.ndarray,  # [B, S, D] pooled RoI features
+        proposal_valid: jnp.ndarray,  # [B, S]
+    ):
+        x = nn.relu(
+            nn.Dense(self.hidden_dim, dtype=self.dtype, name="fc6")(
+                pooled_vec
+            )
+        )
+        x = nn.relu(
+            nn.Dense(self.hidden_dim, dtype=self.dtype, name="fc7")(x)
+        )
+        cls_logits = nn.Dense(
+            self.num_classes, dtype=self.dtype, name="cls_score"
+        )(x)
+        det_logits = nn.Dense(
+            self.num_classes, dtype=self.dtype, name="det_score"
+        )(x)
+        big_neg = jnp.asarray(-1e9, cls_logits.dtype)
+        cls_sm = jax.nn.softmax(cls_logits, axis=-1)  # over classes
+        det_sm = jax.nn.softmax(
+            jnp.where(proposal_valid[..., None], det_logits, big_neg),
+            axis=-2,  # over proposals
+        )
+        proposal_scores = cls_sm * det_sm  # [B, S, C]
+        image_scores = jnp.sum(
+            proposal_scores * proposal_valid[..., None], axis=1
+        )  # [B, C]
+        return proposal_scores, image_scores
+
+
+def wsddn_loss(
+    image_scores: jnp.ndarray, image_labels: jnp.ndarray
+) -> jnp.ndarray:
+    """Binary CE between clamped image-level scores and multi-label
+    targets [B, C] in {0, 1}."""
+    p = jnp.clip(image_scores, 1e-6, 1.0 - 1e-6)
+    ce = -(
+        image_labels * jnp.log(p) + (1 - image_labels) * jnp.log1p(-p)
+    )
+    return jnp.mean(jnp.sum(ce, axis=-1))
