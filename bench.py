@@ -44,7 +44,7 @@ def main():
         statics_from_cfg,
     )
 
-    batch_size = int(sys.argv[1]) if len(sys.argv) > 1 else 4
+    batch_size = int(sys.argv[1]) if len(sys.argv) > 1 else 8
     h, w = 800, 1344  # the (800, 1333) train bucket, padded /64
 
     cfg = get_default_cfg()
