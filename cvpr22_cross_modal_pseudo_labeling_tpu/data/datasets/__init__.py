@@ -2,6 +2,7 @@
 missing-comma __all__ bug fixed, SURVEY.md 2.10 item 4)."""
 
 from .coco import COCODataset
+from .voc import PascalVOCDataset
 from .coco_cap_det import COCOCapDetDataset
 from .coco_captions import COCOCaptionsDataset
 from .concat import ConcatDataset
@@ -16,4 +17,5 @@ __all__ = [
     "ConCapDetDataset",
     "ConceptualOpenImagesDetDataset",
     "OpenImagesDataset",
+    "PascalVOCDataset",
 ]

@@ -52,13 +52,9 @@ def _apply_update(state: TrainState, grads, tx) -> TrainState:
     )
 
 
-def build_train_step(
-    model,
-    tx,
-    meta_arch: str,
-    grad_accum: int = 1,
-) -> Callable:
-    """Returns step(state, batch) -> (state, metrics).
+def build_loss_fn(model, meta_arch: str, grad_accum: int = 1) -> Callable:
+    """loss_fn(params, batch, rng) -> (total, (losses, info)) — the loss
+    assembly shared by the train step and the validation-loss pass.
 
     ``batch`` is a dict; per-arch required keys:
       GeneralizedRCNN: images, image_sizes, class_embeddings, gt_*
@@ -125,6 +121,18 @@ def build_train_step(
         total = sum(losses.values()) / grad_accum
         return total, (losses, info)
 
+    return loss_fn
+
+
+def build_train_step(
+    model,
+    tx,
+    meta_arch: str,
+    grad_accum: int = 1,
+) -> Callable:
+    """Returns step(state, batch) -> (state, metrics)."""
+    loss_fn = build_loss_fn(model, meta_arch, grad_accum)
+
     def step(state: TrainState, batch):
         rng = jax.random.fold_in(state.rng, state.step)
         grads, (losses, info) = jax.grad(loss_fn, has_aux=True)(
@@ -137,6 +145,24 @@ def build_train_step(
         return new_state, metrics
 
     return step
+
+
+def build_val_loss_step(model, meta_arch: str) -> Callable:
+    """Validation loss without an update (the reference's periodic
+    val-loss loop, trainer.py:204-248; gated by SOLVER.SKIP_VAL_LOSS).
+    The loss uses the training branches with a fixed rng
+    (USE_TRAIN_MODE_FOR_VALIDATION_LOSS semantics)."""
+    loss_fn = build_loss_fn(model, meta_arch)
+
+    def val_step(params, batch):
+        total, (losses, info) = loss_fn(
+            params, batch, jax.random.PRNGKey(0)
+        )
+        out = dict(losses)
+        out["val_total_loss"] = total
+        return out
+
+    return val_step
 
 
 _REPLICATED_BATCH_KEYS = ("class_embeddings", "lvis_class_embeddings")

@@ -27,6 +27,8 @@ class ResNetBackbone(nn.Module):
     width_per_group: int = 64
     stride_in_1x1: bool = True
     res5_dilation: int = 1
+    stage_with_dcn: tuple = (False, False, False, False)
+    with_modulated_dcn: bool = False
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -42,6 +44,8 @@ class ResNetBackbone(nn.Module):
             width_per_group=self.width_per_group,
             stride_in_1x1=self.stride_in_1x1,
             res5_dilation=self.res5_dilation,
+            stage_with_dcn=self.stage_with_dcn,
+            with_modulated_dcn=self.with_modulated_dcn,
             dtype=self.dtype,
             name="body",
         )(x)
@@ -54,6 +58,8 @@ class ResNetFPNBackbone(nn.Module):
     use_gn: bool = False
     use_relu: bool = False
     retinanet: bool = False
+    stage_with_dcn: tuple = (False, False, False, False)
+    with_modulated_dcn: bool = False
     stem_out_channels: int = 64
     res2_out_channels: int = 256
     num_groups: int = 1
@@ -71,6 +77,8 @@ class ResNetFPNBackbone(nn.Module):
             num_groups=self.num_groups,
             width_per_group=self.width_per_group,
             stride_in_1x1=self.stride_in_1x1,
+            stage_with_dcn=self.stage_with_dcn,
+            with_modulated_dcn=self.with_modulated_dcn,
             dtype=self.dtype,
             name="body",
         )(x)
@@ -105,6 +113,8 @@ def build_backbone(cfg, dtype=jnp.float32) -> Tuple[nn.Module, dict]:
         num_groups=r.NUM_GROUPS,
         width_per_group=r.WIDTH_PER_GROUP,
         stride_in_1x1=r.STRIDE_IN_1X1,
+        stage_with_dcn=tuple(r.STAGE_WITH_DCN),
+        with_modulated_dcn=r.WITH_MODULATED_DCN,
         dtype=dtype,
     )
     if body.endswith("-C4"):

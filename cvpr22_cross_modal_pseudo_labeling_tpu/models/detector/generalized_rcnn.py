@@ -218,6 +218,7 @@ class GeneralizedRCNN(nn.Module):
         compute_uncertain: bool = False,
         pseudo_sample_weights: Optional[jnp.ndarray] = None,
         lambda_mask: float = 1.0,
+        gt_eval: Optional[Dict[str, jnp.ndarray]] = None,
     ):
         if train:
             return self.forward_train(
@@ -225,7 +226,9 @@ class GeneralizedRCNN(nn.Module):
                 compute_uncertain=compute_uncertain,
                 pseudo_sample_weights=pseudo_sample_weights,
             )
-        return self.forward_eval(images, image_sizes, class_embeddings)
+        return self.forward_eval(
+            images, image_sizes, class_embeddings, gt_eval=gt_eval
+        )
 
     def forward_train(
         self,
@@ -324,12 +327,32 @@ class GeneralizedRCNN(nn.Module):
         return RCNNTrainOutput(losses, info)
 
     def forward_eval(
-        self, images, image_sizes, class_embeddings
+        self,
+        images,
+        image_sizes,
+        class_embeddings,
+        gt_eval: Optional[Dict[str, jnp.ndarray]] = None,
     ) -> RCNNEvalOutput:
+        """gt_eval (MODEL.GT_BOX_EVAL, roi_heads.py:31-42): when given
+        {'boxes': [B,G,4], 'labels': [B,G], 'valid': [B,G]}, GT boxes
+        replace proposals and the postprocessor keeps exactly each
+        box's own label (inference.py:82-89)."""
+        from ..rpn.rpn import RPNProposals
+
         s = self.statics
         feats, _, _, _, proposals = self._rpn_forward(
             images, image_sizes, train=False
         )
+        override_labels = None
+        if gt_eval is not None:
+            proposals = RPNProposals(
+                boxes=gt_eval["boxes"],
+                scores=jnp.ones(gt_eval["boxes"].shape[:2], jnp.float32),
+                valid=gt_eval["valid"],
+            )
+            override_labels = jnp.where(
+                gt_eval["valid"], gt_eval["labels"].astype(jnp.int32), -1
+            )
         x = self._extract_box_features(feats, proposals.boxes)
         vec = jnp.mean(x, axis=(1, 2))
         logits, deltas, _ = self.box_predictor(vec, class_embeddings)
@@ -350,6 +373,7 @@ class GeneralizedRCNN(nn.Module):
             reg_weights=s.reg_weights,
             cls_agnostic_bbox_reg=s.cls_agnostic_bbox_reg,
             nms_tile=s.nms_tile,
+            gt_override_labels=override_labels,
         )
         mask_probs = None
         if s.mask_on:

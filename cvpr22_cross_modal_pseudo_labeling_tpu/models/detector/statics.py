@@ -43,6 +43,7 @@ class RCNNStatics(NamedTuple):
     score_thresh: float = 0.05
     nms_thresh: float = 0.5
     detections_per_img: int = 100
+    gt_box_eval: bool = False
     # box head
     embedding_based: bool = True
     emb_dim: int = 768
@@ -101,8 +102,11 @@ def statics_from_cfg(cfg) -> RCNNStatics:
         roi_batch_per_image=m.ROI_HEADS.BATCH_SIZE_PER_IMAGE,
         roi_positive_fraction=m.ROI_HEADS.POSITIVE_FRACTION,
         reg_weights=tuple(m.ROI_HEADS.BBOX_REG_WEIGHTS),
-        score_thresh=m.ROI_HEADS.SCORE_THRESH,
-        nms_thresh=m.ROI_HEADS.NMS,
+        # GT_BOX_EVAL forces thresholds that keep every boosted gt box
+        # (make_roi_box_post_processor, box_head/inference.py:177-180)
+        score_thresh=1.0 if m.GT_BOX_EVAL else m.ROI_HEADS.SCORE_THRESH,
+        nms_thresh=1.0 if m.GT_BOX_EVAL else m.ROI_HEADS.NMS,
+        gt_box_eval=m.GT_BOX_EVAL,
         detections_per_img=m.ROI_HEADS.DETECTIONS_PER_IMG,
         embedding_based=m.ROI_BOX_HEAD.EMBEDDING_BASED,
         emb_dim=m.ROI_BOX_HEAD.EMB_DIM,

@@ -62,7 +62,9 @@ def _conv(features, kernel, stride=1, dilation=1, name=None, use_bias=False,
 
 
 class Bottleneck(nn.Module):
-    """BottleneckWithFixedBatchNorm (resnet.py:240-300)."""
+    """BottleneckWithFixedBatchNorm / BottleneckWithDCN
+    (resnet.py:240-300; DCN variant per STAGE_WITH_DCN,
+    defaults.py:384)."""
 
     in_channels: int
     bottleneck_channels: int
@@ -71,6 +73,8 @@ class Bottleneck(nn.Module):
     dilation: int = 1
     stride_in_1x1: bool = True
     num_groups: int = 1
+    with_dcn: bool = False
+    with_modulated_dcn: bool = False
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -94,17 +98,51 @@ class Bottleneck(nn.Module):
         out = FrozenBatchNorm(self.bottleneck_channels, self.dtype,
                               name="bn1")(out)
         out = nn.relu(out)
-        out = nn.Conv(
-            self.bottleneck_channels,
-            (3, 3),
-            strides=(s3, s3),
-            padding=((self.dilation, self.dilation),) * 2,
-            kernel_dilation=(self.dilation, self.dilation),
-            feature_group_count=self.num_groups,
-            use_bias=False,
-            dtype=self.dtype,
-            name="conv2",
-        )(out)
+        if self.with_dcn:
+            # offsets (+ modulation masks) from a zero-init regular conv
+            # (dcn/deform_conv_module.py), then deformable sampling
+            from ..ops.deform_conv import deform_conv2d
+
+            n_off = 27 if self.with_modulated_dcn else 18
+            off = nn.Conv(
+                n_off, (3, 3), strides=(s3, s3),
+                padding=((self.dilation,) * 2,) * 2,
+                kernel_init=nn.initializers.zeros,
+                dtype=self.dtype, name="conv2_offset",
+            )(out)
+            kernel = self.param(
+                "conv2_kernel",
+                nn.initializers.variance_scaling(
+                    2.0, "fan_out", "truncated_normal"
+                ),
+                (3, 3, out.shape[-1] // self.num_groups,
+                 self.bottleneck_channels),
+            )
+            if self.with_modulated_dcn:
+                offsets, mask = off[..., :18], nn.sigmoid(off[..., 18:])
+            else:
+                offsets, mask = off, None
+            out = deform_conv2d(
+                out.astype(jnp.float32),
+                offsets.astype(jnp.float32),
+                kernel.astype(jnp.float32),
+                mask=None if mask is None else mask.astype(jnp.float32),
+                stride=s3,
+                padding=self.dilation,
+                dilation=self.dilation,
+            ).astype(self.dtype)
+        else:
+            out = nn.Conv(
+                self.bottleneck_channels,
+                (3, 3),
+                strides=(s3, s3),
+                padding=((self.dilation, self.dilation),) * 2,
+                kernel_dilation=(self.dilation, self.dilation),
+                feature_group_count=self.num_groups,
+                use_bias=False,
+                dtype=self.dtype,
+                name="conv2",
+            )(out)
         out = FrozenBatchNorm(self.bottleneck_channels, self.dtype,
                               name="bn2")(out)
         out = nn.relu(out)
@@ -151,6 +189,8 @@ class ResNetStage(nn.Module):
     dilation: int = 1
     stride_in_1x1: bool = True
     num_groups: int = 1
+    with_dcn: bool = False
+    with_modulated_dcn: bool = False
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -166,6 +206,8 @@ class ResNetStage(nn.Module):
                 dilation=self.dilation,
                 stride_in_1x1=self.stride_in_1x1,
                 num_groups=self.num_groups,
+                with_dcn=self.with_dcn,
+                with_modulated_dcn=self.with_modulated_dcn,
                 dtype=self.dtype,
                 name=f"block{i}",
             )(x)
@@ -190,6 +232,8 @@ class ResNet(nn.Module):
     width_per_group: int = 64
     stride_in_1x1: bool = True
     res5_dilation: int = 1
+    stage_with_dcn: Sequence[bool] = (False, False, False, False)
+    with_modulated_dcn: bool = False
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -216,6 +260,9 @@ class ResNet(nn.Module):
                 dilation=dilation,
                 stride_in_1x1=self.stride_in_1x1,
                 num_groups=self.num_groups,
+                with_dcn=bool(self.stage_with_dcn[idx])
+                if idx < len(self.stage_with_dcn) else False,
+                with_modulated_dcn=self.with_modulated_dcn,
                 dtype=self.dtype,
                 name=f"layer{stage_num - 1}",
             )(x)

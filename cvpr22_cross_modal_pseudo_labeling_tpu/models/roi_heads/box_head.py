@@ -249,6 +249,7 @@ def postprocess_boxes(
     reg_weights: Tuple[float, float, float, float] = (10.0, 10.0, 5.0, 5.0),
     cls_agnostic_bbox_reg: bool = True,
     nms_tile: int = 256,
+    gt_override_labels: Optional[jnp.ndarray] = None,
 ) -> Detections:
     """class_logits [B, S, C]; box_deltas [B, S, 4*num_reg]; proposals
     [B, S, 4].
@@ -262,9 +263,25 @@ def postprocess_boxes(
     the detection cap).
     """
     num_classes = class_logits.shape[-1]
+    if gt_override_labels is None:
+        gt_override_labels = jnp.full(
+            class_logits.shape[:2], -1, jnp.int32
+        )
 
-    def per_image(logits, deltas, props, pvalid, img_size):
+    def per_image(logits, deltas, props, pvalid, img_size, ovr):
         probs = jax.nn.softmax(logits, axis=-1)  # [S, C]
+        # GT_BOX_EVAL score override (box_head/inference.py:82-89):
+        # each gt proposal keeps only its own label's prob, boosted by
+        # 1.1 so it survives score_thresh=1.0
+        override_active = ovr >= 0
+        onehot = jax.nn.one_hot(
+            jnp.clip(ovr, 0), num_classes, dtype=probs.dtype
+        ) * override_active[:, None]
+        probs = jnp.where(
+            jnp.any(override_active),
+            onehot * (probs + 1.1),
+            probs,
+        )
         if cls_agnostic_bbox_reg:
             boxes = decode_boxes(deltas[:, -4:], props, reg_weights)
             boxes = clip_to_image(boxes, img_size)
@@ -304,5 +321,6 @@ def postprocess_boxes(
         )
 
     return jax.vmap(per_image)(
-        class_logits, box_deltas, proposals, proposal_valid, image_sizes
+        class_logits, box_deltas, proposals, proposal_valid, image_sizes,
+        gt_override_labels,
     )

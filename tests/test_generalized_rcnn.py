@@ -116,6 +116,43 @@ def test_eval_forward_detections(model_and_params):
     assert (b >= -1e-3).all() and (b <= 64).all()
 
 
+def test_gt_box_eval(model_and_params):
+    model, params, images, image_sizes, class_emb, targets = model_and_params
+    gt_eval = {
+        "boxes": targets["gt_boxes"],
+        "labels": targets["gt_labels"],
+        "valid": targets["gt_valid"],
+    }
+    out = model.apply(
+        params, images, image_sizes, class_emb, train=False,
+        gt_eval=gt_eval,
+    )
+    dets = out.detections
+    # surviving detections carry the GT labels with boosted scores
+    v = np.asarray(dets.valid[0])
+    assert v.any()
+    assert (np.asarray(dets.scores[0])[v] > 1.0).all()
+    assert set(np.asarray(dets.labels[0])[v]) <= {1}
+
+
+def test_val_loss_step(model_and_params):
+    from cvpr22_cross_modal_pseudo_labeling_tpu.engine.train_step import (
+        build_val_loss_step,
+    )
+
+    model, params, images, image_sizes, class_emb, targets = model_and_params
+    val_step = build_val_loss_step(model, "GeneralizedRCNN")
+    batch = {
+        "images": images,
+        "image_sizes": image_sizes,
+        "class_embeddings": class_emb,
+        **targets,
+    }
+    out = val_step(params, batch)
+    assert "val_total_loss" in out
+    assert np.isfinite(float(out["val_total_loss"]))
+
+
 def test_teacher_pseudo_branch(model_and_params):
     model, params, images, image_sizes, class_emb, _ = model_and_params
     out = model.apply(
