@@ -29,6 +29,7 @@ class ResNetBackbone(nn.Module):
     res5_dilation: int = 1
     stage_with_dcn: tuple = (False, False, False, False)
     with_modulated_dcn: bool = False
+    norm: str = "frozen_bn"
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -46,6 +47,7 @@ class ResNetBackbone(nn.Module):
             res5_dilation=self.res5_dilation,
             stage_with_dcn=self.stage_with_dcn,
             with_modulated_dcn=self.with_modulated_dcn,
+            norm=self.norm,
             dtype=self.dtype,
             name="body",
         )(x)
@@ -60,6 +62,7 @@ class ResNetFPNBackbone(nn.Module):
     retinanet: bool = False
     stage_with_dcn: tuple = (False, False, False, False)
     with_modulated_dcn: bool = False
+    norm: str = "frozen_bn"
     stem_out_channels: int = 64
     res2_out_channels: int = 256
     num_groups: int = 1
@@ -79,6 +82,7 @@ class ResNetFPNBackbone(nn.Module):
             stride_in_1x1=self.stride_in_1x1,
             stage_with_dcn=self.stage_with_dcn,
             with_modulated_dcn=self.with_modulated_dcn,
+            norm=self.norm,
             dtype=self.dtype,
             name="body",
         )(x)
@@ -115,6 +119,7 @@ def build_backbone(cfg, dtype=jnp.float32) -> Tuple[nn.Module, dict]:
         stride_in_1x1=r.STRIDE_IN_1X1,
         stage_with_dcn=tuple(r.STAGE_WITH_DCN),
         with_modulated_dcn=r.WITH_MODULATED_DCN,
+        norm="gn" if "GN" in r.TRANS_FUNC else "frozen_bn",
         dtype=dtype,
     )
     if body.endswith("-C4"):

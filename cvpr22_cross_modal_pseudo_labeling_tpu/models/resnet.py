@@ -75,7 +75,13 @@ class Bottleneck(nn.Module):
     num_groups: int = 1
     with_dcn: bool = False
     with_modulated_dcn: bool = False
+    norm: str = "frozen_bn"  # "frozen_bn" | "gn" (TRANS_FUNC BottleneckWithGN)
     dtype: Any = jnp.float32
+
+    def _norm(self, features, name):
+        if self.norm == "gn":
+            return nn.GroupNorm(num_groups=32, epsilon=1e-5, name=name)
+        return FrozenBatchNorm(features, self.dtype, name=name)
 
     @nn.compact
     def __call__(self, x):
@@ -89,14 +95,13 @@ class Bottleneck(nn.Module):
                 self.out_channels, 1, down_stride, name="downsample_conv",
                 dtype=self.dtype,
             )(x)
-            identity = FrozenBatchNorm(
-                self.out_channels, self.dtype, name="downsample_bn"
+            identity = self._norm(
+                self.out_channels, "downsample_bn"
             )(identity)
 
         out = _conv(self.bottleneck_channels, 1, s1, name="conv1",
                     dtype=self.dtype)(x)
-        out = FrozenBatchNorm(self.bottleneck_channels, self.dtype,
-                              name="bn1")(out)
+        out = self._norm(self.bottleneck_channels, "bn1")(out)
         out = nn.relu(out)
         if self.with_dcn:
             # offsets (+ modulation masks) from a zero-init regular conv
@@ -143,19 +148,19 @@ class Bottleneck(nn.Module):
                 dtype=self.dtype,
                 name="conv2",
             )(out)
-        out = FrozenBatchNorm(self.bottleneck_channels, self.dtype,
-                              name="bn2")(out)
+        out = self._norm(self.bottleneck_channels, "bn2")(out)
         out = nn.relu(out)
         out = _conv(self.out_channels, 1, 1, name="conv3", dtype=self.dtype)(out)
-        out = FrozenBatchNorm(self.out_channels, self.dtype, name="bn3")(out)
+        out = self._norm(self.out_channels, "bn3")(out)
         return nn.relu(out + identity)
 
 
 class Stem(nn.Module):
-    """StemWithFixedBatchNorm (resnet.py:383-404): 7x7/2 conv + frozen BN
-    + relu + 3x3/2 maxpool."""
+    """StemWithFixedBatchNorm / StemWithGN (resnet.py:383-404): 7x7/2
+    conv + norm + relu + 3x3/2 maxpool."""
 
     out_channels: int = 64
+    norm: str = "frozen_bn"
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -169,7 +174,10 @@ class Stem(nn.Module):
             dtype=self.dtype,
             name="conv1",
         )(x)
-        x = FrozenBatchNorm(self.out_channels, self.dtype, name="bn1")(x)
+        if self.norm == "gn":
+            x = nn.GroupNorm(num_groups=32, epsilon=1e-5, name="bn1")(x)
+        else:
+            x = FrozenBatchNorm(self.out_channels, self.dtype, name="bn1")(x)
         x = nn.relu(x)
         x = nn.max_pool(
             x, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1))
@@ -191,6 +199,7 @@ class ResNetStage(nn.Module):
     num_groups: int = 1
     with_dcn: bool = False
     with_modulated_dcn: bool = False
+    norm: str = "frozen_bn"
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -208,6 +217,7 @@ class ResNetStage(nn.Module):
                 num_groups=self.num_groups,
                 with_dcn=self.with_dcn,
                 with_modulated_dcn=self.with_modulated_dcn,
+                norm=self.norm,
                 dtype=self.dtype,
                 name=f"block{i}",
             )(x)
@@ -234,11 +244,14 @@ class ResNet(nn.Module):
     res5_dilation: int = 1
     stage_with_dcn: Sequence[bool] = (False, False, False, False)
     with_modulated_dcn: bool = False
+    norm: str = "frozen_bn"
     dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x) -> Dict[str, jnp.ndarray]:
-        x = Stem(self.stem_out_channels, self.dtype, name="stem")(x)
+        x = Stem(
+            self.stem_out_channels, self.norm, self.dtype, name="stem"
+        )(x)
         out = {}
         in_ch = self.stem_out_channels
         stage2_bottleneck = self.num_groups * self.width_per_group
@@ -263,6 +276,7 @@ class ResNet(nn.Module):
                 with_dcn=bool(self.stage_with_dcn[idx])
                 if idx < len(self.stage_with_dcn) else False,
                 with_modulated_dcn=self.with_modulated_dcn,
+                norm=self.norm,
                 dtype=self.dtype,
                 name=f"layer{stage_num - 1}",
             )(x)
