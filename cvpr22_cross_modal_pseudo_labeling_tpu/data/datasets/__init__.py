@@ -6,6 +6,7 @@ from .voc import PascalVOCDataset
 from .coco_cap_det import COCOCapDetDataset
 from .coco_captions import COCOCaptionsDataset
 from .concat import ConcatDataset
+from .cityscapes import CityScapesDataset
 from .conceptual import ConCapDetDataset, ConceptualOpenImagesDetDataset
 from .openimages import OpenImagesDataset
 
@@ -18,4 +19,5 @@ __all__ = [
     "ConceptualOpenImagesDetDataset",
     "OpenImagesDataset",
     "PascalVOCDataset",
+    "CityScapesDataset",
 ]

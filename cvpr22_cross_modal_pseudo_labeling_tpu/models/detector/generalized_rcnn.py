@@ -343,6 +343,17 @@ class GeneralizedRCNN(nn.Module):
         feats, _, _, _, proposals = self._rpn_forward(
             images, image_sizes, train=False
         )
+        if s.rpn_only:
+            # RPN_ONLY eval returns raw proposals (generalized_rcnn.py
+            # RPN_ONLY path); evaluation runs box-proposal AR
+            # (data/evaluation/box_proposals.py)
+            dets = Detections(
+                boxes=proposals.boxes,
+                scores=proposals.scores,
+                labels=jnp.zeros(proposals.scores.shape, jnp.int32),
+                valid=proposals.valid,
+            )
+            return RCNNEvalOutput(dets, None)
         override_labels = None
         if gt_eval is not None:
             proposals = RPNProposals(

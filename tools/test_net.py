@@ -66,13 +66,9 @@ def main():
     class_emb = (
         jnp.asarray(class_emb) if class_emb is not None else None
     )
-    params = model.init(
-        {"params": jax.random.PRNGKey(0)},
-        images,
-        sizes,
-        class_emb,
-        train=False,
-    )
+    params = jax.jit(
+        lambda r, im, sz, ce: model.init(r, im, sz, ce, train=False)
+    )({"params": jax.random.PRNGKey(0)}, images, sizes, class_emb)
 
     ckpt = args.ckpt or latest_checkpoint(cfg.OUTPUT_DIR)
     if ckpt and os.path.isdir(ckpt):

@@ -131,10 +131,16 @@ def train(cfg, logger):
             k: jnp.asarray(example_batch[k][:1])
             for k in ("gt_boxes", "gt_labels", "gt_valid", "gt_masks")
         }
-        params = model.init(
+        # jit the init: eager init dispatches thousands of ops through
+        # the device tunnel (minutes); jitted it is one program
+        params = jax.jit(
+            lambda r, im, sz, ce, tg: model.init(
+                r, im, sz, ce, tg, train=True
+            )
+        )(
             rngs, images, sizes,
             jnp.asarray(extra_batch.get("class_embeddings")),
-            targets, train=True,
+            targets,
         )
     elif meta_arch == "STGeneralizedRCNN":
         small = {
@@ -150,18 +156,23 @@ def train(cfg, logger):
         extra_batch["lvis_class_embeddings"] = np.zeros(
             (len(lvis_names), cfg.MODEL.ROI_BOX_HEAD.EMB_DIM), np.float32
         )
-        params = model.init(
+        params = jax.jit(
+            lambda r, im, sz, b, ce, le: model.init(
+                r, im, sz, b, ce, le, train=True
+            )
+        )(
             rngs, images, sizes, small,
             jnp.asarray(extra_batch["class_embeddings"]),
             jnp.asarray(extra_batch["lvis_class_embeddings"]),
-            train=True,
         )
     else:  # MMSS-GCNN
         captions = {
             k: jnp.asarray(example_batch[k][:1])
             for k in ("input_ids", "attention_mask", "special_tokens_mask")
         }
-        params = model.init(rngs, images, sizes, captions, train=True)
+        params = jax.jit(
+            lambda r, im, sz, c: model.init(r, im, sz, c, train=True)
+        )(rngs, images, sizes, captions)
 
     # weight loading: torch .pth import or orbax resume
     if cfg.MODEL.WEIGHT and os.path.exists(cfg.MODEL.WEIGHT):
