@@ -174,9 +174,29 @@ def train(cfg, logger):
             lambda r, im, sz, c: model.init(r, im, sz, c, train=True)
         )(rngs, images, sizes, captions)
 
-    # weight loading: torch .pth import or orbax resume
-    if cfg.MODEL.WEIGHT and os.path.exists(cfg.MODEL.WEIGHT):
-        sd = load_torch_checkpoint(cfg.MODEL.WEIGHT)
+    # weight loading: catalog:// resolution, Caffe2 .pkl, or torch .pth
+    weight_path = cfg.MODEL.WEIGHT
+    if weight_path.startswith("catalog://"):
+        from cvpr22_cross_modal_pseudo_labeling_tpu.data.paths_catalog import (
+            ModelCatalog,
+        )
+
+        weight_path = ModelCatalog.get(weight_path)
+    if weight_path and weight_path.endswith(".pkl") and os.path.exists(
+        weight_path
+    ):
+        from cvpr22_cross_modal_pseudo_labeling_tpu.engine.c2_loading import (
+            import_c2_imagenet_weights,
+        )
+
+        new_params, report = import_c2_imagenet_weights(
+            params["params"], weight_path
+        )
+        params = dict(params)
+        params["params"] = jax.tree_util.tree_map(jnp.asarray, new_params)
+        logger.info("imported %d caffe2 blobs", report["matched"])
+    elif weight_path and os.path.exists(weight_path):
+        sd = load_torch_checkpoint(weight_path)
         sd = apply_reference_key_surgery(
             sd,
             backbone_prefix=cfg.MODEL.BACKBONE_PREFIX,
