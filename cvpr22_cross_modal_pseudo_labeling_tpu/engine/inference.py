@@ -93,6 +93,53 @@ def compute_on_dataset(
     return results
 
 
+def evaluate_proposals(
+    model, params, loader, dataset, limit: int = 1000
+) -> Dict[str, float]:
+    """RPN_ONLY evaluation: box-proposal AR over the dataset
+    (the reference's evaluate_box_proposals path)."""
+    import jax.numpy as jnp
+
+    @jax.jit
+    def forward(p, images, image_sizes):
+        return model.apply(p, images, image_sizes, None, train=False)
+
+    proposals_by_image = {}
+    for batch, indices in loader:
+        out = forward(
+            params,
+            jnp.asarray(batch["images"]),
+            jnp.asarray(batch["image_sizes"]),
+        )
+        dets = jax.device_get(out.detections)
+        for bi, ds_index in enumerate(indices):
+            info = dataset.get_img_info(ds_index)
+            ih, iw = batch["image_sizes"][bi]
+            sx, sy = info["width"] / iw, info["height"] / ih
+            keep = dets.valid[bi]
+            boxes = dets.boxes[bi][keep] * np.array(
+                [sx, sy, sx, sy], np.float32
+            )
+            scores = dets.scores[bi][keep]
+            img_id = (
+                dataset.id_to_img_map[ds_index]
+                if hasattr(dataset, "id_to_img_map")
+                else info.get("id", ds_index)
+            )
+            proposals_by_image[img_id] = np.concatenate(
+                [boxes, scores[:, None]], axis=1
+            ).astype(np.float64)
+    from ..data.evaluation.box_proposals import evaluate_box_proposals
+
+    out = {}
+    for area in ("all", "small", "medium", "large"):
+        res = evaluate_box_proposals(
+            proposals_by_image, dataset.coco, area=area, limit=limit
+        )
+        out[f"box_proposal/AR_{area}@{limit}"] = res["ar"]
+    return out
+
+
 def inference(
     model,
     params,
@@ -104,6 +151,9 @@ def inference(
     output_file: Optional[str] = None,
 ) -> Dict[str, float]:
     """Full eval pass (engine/inference.py:104-175)."""
+    statics = getattr(model, "statics", None)
+    if statics is not None and getattr(statics, "rpn_only", False):
+        return evaluate_proposals(model, params, loader, dataset)
     class_emb = getattr(dataset, "class_emb_mtx", None)
     start = time.time()
     results = compute_on_dataset(
