@@ -102,6 +102,59 @@ def test_train_step_on_8_device_mesh():
     assert m1["grad_norm"] > 0
 
 
+def test_mmss_train_step():
+    from cvpr22_cross_modal_pseudo_labeling_tpu.models.detector.mmss_gcnn import (
+        MMSSGridModel,
+        mmss_statics_from_cfg,
+    )
+
+    cfg = get_default_cfg()
+    cfg.MODEL.META_ARCHITECTURE = "MMSS-GCNN"
+    cfg.MODEL.BACKBONE.CONV_BODY = "R-50-C5"
+    cfg.MODEL.BACKBONE.FREEZE_CONV_BODY_AT = 0
+    cfg.MODEL.MMSS_HEAD.TYPES = ("GroundingHead",)
+    cfg.MODEL.MMSS_HEAD.SPATIAL_DROPOUT = 6
+    cfg.MODEL.MMSS_HEAD.GROUNDING.LOSS = "cross_entropy"
+    cfg.MODEL.MMSS_HEAD.GROUNDING.ALIGNMENT = "softmax"
+    cfg.MODEL.MMSS_HEAD.GROUNDING.ALIGNMENT_TEMPERATURE = 10.0
+    cfg.SOLVER.CLIP_GRAD_NORM_AT = 5.0
+
+    statics = mmss_statics_from_cfg(cfg)._replace(
+        l_dim=16, vocab_size=64, lb_type="WordEmbedding"
+    )
+    model = MMSSGridModel(statics)
+    b, w = 2, 6
+    rng = np.random.RandomState(0)
+    batch = {
+        "images": jnp.asarray(rng.rand(b, 64, 64, 3), jnp.float32),
+        "image_sizes": jnp.tile(jnp.array([[64, 64]], jnp.int32), (b, 1)),
+        "input_ids": jnp.asarray(rng.randint(5, 64, (b, w)), jnp.int32),
+        "attention_mask": jnp.ones((b, w), jnp.int32),
+        "special_tokens_mask": jnp.zeros((b, w), jnp.int32),
+    }
+    captions = {
+        k: batch[k]
+        for k in ("input_ids", "attention_mask", "special_tokens_mask")
+    }
+    params = model.init(
+        {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1),
+         "mlm": jax.random.PRNGKey(2)},
+        batch["images"],
+        batch["image_sizes"],
+        captions,
+        train=True,
+    )
+    tx, _ = make_optimizer(
+        cfg, params["params"],
+        frozen_prefixes_from_cfg(cfg, "MMSS-GCNN"),
+    )
+    state = create_train_state(params, tx, jax.random.PRNGKey(42))
+    step = jax.jit(build_train_step(model, tx, "MMSS-GCNN"))
+    state, metrics = step(state, batch)
+    assert np.isfinite(float(metrics["total_loss"]))
+    assert int(state.step) == 1
+
+
 def test_frozen_params_do_not_move():
     cfg = tiny_cfg()
     cfg.MODEL.BACKBONE.FREEZE_CONV_BODY_AT = 2
