@@ -53,7 +53,11 @@ def main():
     logger = setup_logger(
         "cmpl_tpu", output_dir, jax.process_index()
     )
-    logger.info("devices: %s", jax.devices())
+    from cvpr22_cross_modal_pseudo_labeling_tpu.utils.env_info import (
+        collect_env_info,
+    )
+
+    logger.info("environment:\n%s", collect_env_info())
     logger.info("config:\n%s", cfg)
 
     state, model = train(cfg, logger)
@@ -211,6 +215,13 @@ def train(cfg, logger):
             "imported %d torch tensors (%d source keys unmatched)",
             report["matched"], len(report["missed_source_keys"]),
         )
+
+    if hasattr(dataset, "class_names") and jax.process_index() == 0:
+        from cvpr22_cross_modal_pseudo_labeling_tpu.utils.env_info import (
+            save_labels,
+        )
+
+        save_labels(dataset.class_names, cfg.OUTPUT_DIR)
 
     if meta_arch == "STGeneralizedRCNN":
         tokenizer = build_tokenizer(cfg)
