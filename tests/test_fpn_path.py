@@ -1,0 +1,111 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from cvpr22_cross_modal_pseudo_labeling_tpu.config import get_default_cfg
+from cvpr22_cross_modal_pseudo_labeling_tpu.models.detector import (
+    GeneralizedRCNN,
+    statics_from_cfg,
+)
+from cvpr22_cross_modal_pseudo_labeling_tpu.models.roi_heads.extractors import (
+    FPN2MLPFeatureExtractor,
+    FPNPredictor,
+    FPNXconv1fcFeatureExtractor,
+    MaskRCNNConv1x1Predictor,
+    pixel_score_uncertainty,
+)
+from cvpr22_cross_modal_pseudo_labeling_tpu.models.roi_heads.pooler import (
+    assign_fpn_levels,
+    pool_rois,
+)
+
+
+def test_fpn_level_assignment():
+    boxes = jnp.array(
+        [
+            [0, 0, 31, 31],       # ~32px -> low level
+            [0, 0, 223, 223],     # canonical 224 -> level 4
+            [0, 0, 899, 899],     # large -> high level
+        ],
+        jnp.float32,
+    )
+    lvls = assign_fpn_levels(boxes, k_min=2, k_max=5)
+    assert int(lvls[0]) == 0  # clamped to k_min
+    assert int(lvls[1]) == 2  # 224 -> k=4 -> index 2
+    assert int(lvls[2]) == 3  # clamped to k_max
+
+
+def test_multilevel_pool_matches_single_when_one_level_selected():
+    rng = np.random.RandomState(0)
+    feats = [
+        jnp.asarray(rng.randn(1, 32, 32, 4), jnp.float32),  # stride 4
+        jnp.asarray(rng.randn(1, 16, 16, 4), jnp.float32),  # stride 8
+    ]
+    # small box -> always level 0
+    boxes = jnp.array([[[4.0, 4.0, 20.0, 20.0]]])
+    out_multi = pool_rois(
+        feats, boxes, (7, 7), (1.0 / 4, 1.0 / 8), 2, use_mxu=False
+    )
+    out_single = pool_rois(
+        [feats[0]], boxes, (7, 7), (1.0 / 4,), 2, use_mxu=False
+    )
+    np.testing.assert_allclose(
+        np.asarray(out_multi), np.asarray(out_single), atol=1e-5
+    )
+
+
+def test_fpn_generalized_rcnn_eval():
+    """R-50-FPN config end-to-end eval (per-level RPN selection +
+    FPN top-N + multi-level pooling)."""
+    cfg = get_default_cfg()
+    cfg.MODEL.BACKBONE.CONV_BODY = "R-50-FPN"
+    cfg.MODEL.RESNETS.BACKBONE_OUT_CHANNELS = 256
+    cfg.MODEL.RPN.USE_FPN = True
+    cfg.MODEL.RPN.ANCHOR_STRIDE = (4, 8, 16, 32, 64)
+    cfg.MODEL.RPN.ANCHOR_SIZES = (32, 64, 128, 256, 512)
+    cfg.MODEL.RPN.PRE_NMS_TOP_N_TEST = 32
+    cfg.MODEL.RPN.POST_NMS_TOP_N_TEST = 8
+    cfg.MODEL.ROI_HEADS.USE_FPN = True
+    cfg.MODEL.ROI_BOX_HEAD.POOLER_SCALES = (0.25, 0.125, 0.0625, 0.03125)
+    cfg.MODEL.ROI_BOX_HEAD.POOLER_SAMPLING_RATIO = 2
+    cfg.MODEL.ROI_BOX_HEAD.EMB_DIM = 8
+    cfg.MODEL.ROI_HEADS.DETECTIONS_PER_IMG = 4
+    cfg.MODEL.MASK_ON = False
+    cfg.TPU.NMS_TILE = 64
+    model = GeneralizedRCNN(statics_from_cfg(cfg))
+    images = jnp.zeros((1, 64, 64, 3))
+    sizes = jnp.array([[64, 64]], jnp.int32)
+    emb = jnp.asarray(np.random.RandomState(0).randn(5, 8), jnp.float32)
+    params = model.init(
+        {"params": jax.random.PRNGKey(0)}, images, sizes, emb, train=False
+    )
+    out = model.apply(params, images, sizes, emb, train=False)
+    assert out.detections.boxes.shape == (1, 4, 4)
+
+
+def test_alternative_extractors_and_predictors():
+    pooled = jnp.asarray(
+        np.random.RandomState(0).randn(3, 7, 7, 16), jnp.float32
+    )
+    m = FPN2MLPFeatureExtractor(mlp_head_dim=32)
+    p = m.init(jax.random.PRNGKey(0), pooled)
+    x = m.apply(p, pooled)
+    assert x.shape == (3, 32)
+
+    m2 = FPNXconv1fcFeatureExtractor(
+        conv_head_dim=8, num_stacked_convs=2, mlp_head_dim=16
+    )
+    p2 = m2.init(jax.random.PRNGKey(0), pooled)
+    assert m2.apply(p2, pooled).shape == (3, 16)
+
+    pred = FPNPredictor(num_classes=5)
+    pp = pred.init(jax.random.PRNGKey(0), x)
+    logits, deltas = pred.apply(pp, x)
+    assert logits.shape == (3, 5) and deltas.shape == (3, 20)
+
+    mp = MaskRCNNConv1x1Predictor(num_classes=2)
+    mpp = mp.init(jax.random.PRNGKey(0), pooled)
+    assert mp.apply(mpp, pooled).shape == (3, 7, 7, 2)
+
+    unc = pixel_score_uncertainty(jnp.zeros((2, 4, 4, 1)))
+    np.testing.assert_allclose(np.asarray(unc), 1.0)  # p=0.5 -> max unc

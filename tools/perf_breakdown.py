@@ -62,7 +62,10 @@ def main():
     cfg.MODEL.CLS_AGNOSTIC_BBOX_REG = True
     cfg.MODEL.CLS_AGNOSTIC_MASK = True
     cfg.MODEL.ROI_BOX_HEAD.EMBEDDING_BASED = True
+    cfg.MODEL.ROI_BOX_HEAD.EMB_DIM = 768
     cfg.MODEL.ROI_BOX_HEAD.NUM_CLASSES = 49
+    cfg.MODEL.ROI_BOX_HEAD.LOSS_WEIGHT_BACKGROUND = 0.2
+    cfg.MODEL.ROI_HEADS.POSITIVE_FRACTION = 1.0
     cfg.MODEL.BACKBONE.FREEZE_CONV_BODY_AT = 2
     cfg.TPU.COMPUTE_DTYPE = "bfloat16"
     cfg.TPU.MAX_GT = 20
