@@ -78,6 +78,21 @@ class PrefetchingLoader:
     def __len__(self):
         return len(self.batch_sampler)
 
+    def _fetch(self, idx: int):
+        """Per-sample soft failure handling (the reference drops bad
+        batches with a logged error, trainer.py:96-98 / inference.py:61-67;
+        here a corrupt sample falls back to a neighboring index)."""
+        try:
+            return self.dataset[idx]
+        except Exception as e:  # corrupt image/annotation
+            from ..utils.logger import get_logger
+
+            get_logger("data").warning(
+                "sample %d failed (%s: %s); substituting neighbor",
+                idx, type(e).__name__, e,
+            )
+            return self.dataset[(idx + 1) % len(self.dataset)]
+
     def __iter__(self) -> Iterator:
         out_q: "queue.Queue" = queue.Queue(maxsize=4)
         stop = threading.Event()
@@ -91,7 +106,7 @@ class PrefetchingLoader:
                         if stop.is_set():
                             return
                         samples = list(
-                            pool.map(self.dataset.__getitem__, batch_idx)
+                            pool.map(self._fetch, batch_idx)
                         )
                         out_q.put(
                             (self.collator(samples), list(batch_idx))
