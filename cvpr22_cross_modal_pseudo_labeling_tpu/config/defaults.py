@@ -352,6 +352,10 @@ _C.TPU.MESH_AXES = ("data",)
 _C.TPU.MESH_SHAPE = (-1,)
 # NMS tile size for the tiled exact-greedy TPU NMS kernel.
 _C.TPU.NMS_TILE = 256
+# Mask head trains on at most this many sampled rois per image
+# (positives come first in the sampled layout, so this covers all
+# positives whenever #pos <= cap; mirrors keep_only_positive_boxes).
+_C.TPU.MASK_POS_CAP = 256
 
 
 def get_default_cfg() -> CN:

@@ -305,14 +305,21 @@ class GeneralizedRCNN(nn.Module):
         losses["loss_box_reg"] = box_loss
 
         if s.mask_on:
+            # mask head on the leading (positives-first) slice only
+            cap = min(s.mask_pos_cap, s.roi_batch_per_image)
+            b = images.shape[0]
+            x_mask = x.reshape(b, -1, *x.shape[1:])[:, :cap].reshape(
+                -1, *x.shape[1:]
+            )
+            sampled_mask = sampled.head(cap)
             mask_logits, scale = self.mask_predictor(
-                x,
+                x_mask,
                 compute_uncertain=compute_uncertain,
                 train=True,
             )
             losses["loss_mask"] = mask_head_loss(
                 mask_logits.astype(jnp.float32),
-                sampled,
+                sampled_mask,
                 targets["gt_masks"],
                 gt_boxes,
                 cls_agnostic_mask=s.cls_agnostic_mask,

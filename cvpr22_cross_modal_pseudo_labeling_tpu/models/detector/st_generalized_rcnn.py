@@ -339,18 +339,27 @@ class STGeneralizedRCNN(nn.Module):
         mask_loss = jnp.zeros(())
         avg_uncertain = jnp.ones(())
         if sb.mask_on:
+            # positives-first slice (see SampledRoIs.head)
+            cap = min(sb.mask_pos_cap, sb.roi_batch_per_image)
+            b = feats[0].shape[0]
+            x_mask = x.reshape(b, -1, *x.shape[1:])[:, :cap].reshape(
+                -1, *x.shape[1:]
+            )
+            sampled_mask = sampled.head(cap)
             mask_logits, scale = self.student.mask_outputs(
-                x, compute_uncertain=compute_uncertain, train=True
+                x_mask, compute_uncertain=compute_uncertain, train=True
             )
             mask_loss = mask_head_loss(
                 mask_logits.astype(jnp.float32),
-                sampled,
+                sampled_mask,
                 gt_masks,
                 gt_mask_boxes,
                 cls_agnostic_mask=sb.cls_agnostic_mask,
             )
             if scale is not None:
-                pos = (sampled.is_pos & sampled.valid).reshape(-1)
+                pos = (
+                    sampled_mask.is_pos & sampled_mask.valid
+                ).reshape(-1)
                 avg_uncertain = jnp.sum(
                     jnp.mean(scale[..., 0].astype(jnp.float32), axis=(1, 2))
                     * pos.astype(jnp.float32)

@@ -62,6 +62,11 @@ class RCNNStatics(NamedTuple):
     # caps
     max_gt: int = 100
     nms_tile: int = 256
+    # mask head trains on at most this many sampled rois per image; the
+    # sampler orders positives first, so the slice covers all positives
+    # whenever #pos <= cap (the reference computes masks for positives
+    # only — keep_only_positive_boxes, mask_head.py:13-33)
+    mask_pos_cap: int = 256
     # dtype name ("float32" | "bfloat16")
     compute_dtype: str = "float32"
 
@@ -123,5 +128,6 @@ def statics_from_cfg(cfg) -> RCNNStatics:
         mask_dim_reduced=m.ROI_MASK_HEAD.CONV_LAYERS[-1],
         max_gt=cfg.TPU.MAX_GT,
         nms_tile=cfg.TPU.NMS_TILE,
+        mask_pos_cap=cfg.TPU.MASK_POS_CAP,
         compute_dtype=cfg.TPU.COMPUTE_DTYPE,
     )

@@ -135,6 +135,13 @@ class SampledRoIs(NamedTuple):
     is_pos: jnp.ndarray  # [B, S]
     matched_gt: jnp.ndarray  # [B, S] int32 index into gt
 
+    def head(self, cap: int) -> "SampledRoIs":
+        """First ``cap`` slots per image — since sampling orders
+        positives first, this is the static-shape equivalent of
+        keep_only_positive_boxes (mask_head.py:13-33) whenever
+        #pos <= cap."""
+        return SampledRoIs(*(a[:, :cap] for a in self))
+
 
 def subsample_rois(
     proposals: jnp.ndarray,
