@@ -100,6 +100,20 @@ def test_pad_and_compact_topk():
     assert not bool(top.valid[2])
 
 
+def test_concat_boxes():
+    from cvpr22_cross_modal_pseudo_labeling_tpu.core import concat_boxes
+
+    a = pad_boxes(jnp.ones((2, 4)), 4, {"scores": jnp.ones(2)})
+    b = pad_boxes(jnp.zeros((1, 4)), 2, {"scores": jnp.zeros(1),
+                                         "extra": jnp.zeros(1)})
+    c = concat_boxes(a, b)
+    assert c.capacity == 6
+    assert int(c.num_valid()) == 3
+    # only shared fields survive (cat_boxlist semantics)
+    assert set(c.fields) == {"scores"}
+    assert c.fields["scores"].shape == (6,)
+
+
 def test_boxes_is_pytree():
     import jax
 
