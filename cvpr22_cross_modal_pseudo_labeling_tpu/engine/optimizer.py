@@ -110,6 +110,12 @@ def make_optimizer(cfg, params, frozen_prefixes: Sequence[str] = ()):
     )
     if s.CLIP_GRAD_NORM_AT > 0:
         tx = optax.chain(optax.clip_by_global_norm(s.CLIP_GRAD_NORM_AT), tx)
+    if s.GRADIENT_ACCUMULATION_STEPS > 1:
+        # true accumulation (trainer.py:118,135): gradients average over
+        # k micro-steps, the update applies on the k-th
+        tx = optax.MultiSteps(
+            tx, every_k_schedule=s.GRADIENT_ACCUMULATION_STEPS
+        )
     return tx, labels
 
 

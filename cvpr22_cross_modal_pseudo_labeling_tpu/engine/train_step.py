@@ -118,7 +118,10 @@ def build_loss_fn(model, meta_arch: str, grad_accum: int = 1) -> Callable:
             )
         else:
             raise ValueError(meta_arch)
-        total = sum(losses.values()) / grad_accum
+        # grad accumulation is handled by optax.MultiSteps in the
+        # optimizer (gradients averaged over micro-steps); the loss is
+        # NOT pre-scaled here
+        total = sum(losses.values())
         return total, (losses, info)
 
     return loss_fn

@@ -132,6 +132,40 @@ def test_st_teacher_gets_no_gradient(st_setup):
     assert student_norm > 0.0
 
 
+def test_st_exemplars_enabled(st_setup):
+    """Exemplar path: with exemplars_enabled, the caption branch updates
+    the table and mixes it into the student vocabulary."""
+    from cvpr22_cross_modal_pseudo_labeling_tpu.models.detector.st_generalized_rcnn import (
+        init_exemplar_table,
+    )
+
+    model, params, images, image_sizes, batch, class_emb, lvis_emb = st_setup
+    model_ex = STGeneralizedRCNN(
+        model.statics._replace(exemplars_enabled=True)
+    )
+    table = init_exemplar_table(20, 16)
+    out = model_ex.apply(
+        params,
+        images,
+        image_sizes,
+        batch,
+        class_emb,
+        lvis_emb,
+        train=True,
+        exemplars=table,
+        rngs={
+            "sampler": jax.random.PRNGKey(9),
+            "uncertainty": jax.random.PRNGKey(10),
+        },
+    )
+    assert "exemplars" in out.info
+    new_table = out.info["exemplars"]
+    # at least one vocab slot filled from the valid caption nouns
+    assert int(jnp.sum(new_table["valid"])) >= 1
+    for k, v in out.losses.items():
+        assert np.isfinite(float(v)), k
+
+
 def test_st_eval(st_setup):
     model, params, images, image_sizes, batch, class_emb, lvis_emb = st_setup
     out = model.apply(
