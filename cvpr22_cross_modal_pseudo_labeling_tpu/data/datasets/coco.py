@@ -155,10 +155,10 @@ class COCODataset:
         return ann.get("segmentation")
 
     def _load_image(self, img_id: int) -> np.ndarray:
+        from ...utils.native_image import load_image_rgb
+
         info = self.coco.imgs[img_id]
-        path = os.path.join(self.root, info["file_name"])
-        with Image.open(path) as im:
-            return np.asarray(im.convert("RGB"), np.float32) / 255.0
+        return load_image_rgb(os.path.join(self.root, info["file_name"]))
 
     def raw_sample(self, index: int) -> Dict:
         img_id = self.id_to_img_map[index]
