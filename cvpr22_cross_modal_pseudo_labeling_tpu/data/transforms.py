@@ -52,10 +52,17 @@ class Resize:
         h, w = sample["image"].shape[:2]
         nh, nw = get_resize_hw((h, w), min_size, self.max_size)
         if (nh, nw) != (h, w):
-            img = Image.fromarray(
-                (sample["image"] * 255).astype(np.uint8)
-            ).resize((nw, nh), Image.BILINEAR)
-            sample["image"] = np.asarray(img, np.float32) / 255.0
+            src_u8 = (sample["image"] * 255).astype(np.uint8)
+            from ..utils.native_image import resize_bilinear_native
+
+            resized = resize_bilinear_native(src_u8, (nh, nw))
+            if resized is None:  # PIL fallback
+                resized = np.asarray(
+                    Image.fromarray(src_u8).resize(
+                        (nw, nh), Image.BILINEAR
+                    )
+                )
+            sample["image"] = resized.astype(np.float32) / 255.0
             sx, sy = nw / w, nh / h
             if len(sample.get("boxes", [])):
                 sample["boxes"] = sample["boxes"] * np.array(
