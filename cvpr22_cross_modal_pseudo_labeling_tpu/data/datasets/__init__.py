@@ -8,6 +8,7 @@ from .coco_captions import COCOCaptionsDataset
 from .concat import ConcatDataset
 from .cityscapes import CityScapesDataset
 from .conceptual import ConCapDetDataset, ConceptualOpenImagesDetDataset
+from .list_dataset import ConceptualCaptionsDataset, ListDataset
 from .openimages import OpenImagesDataset
 
 __all__ = [
@@ -20,4 +21,6 @@ __all__ = [
     "OpenImagesDataset",
     "PascalVOCDataset",
     "CityScapesDataset",
+    "ListDataset",
+    "ConceptualCaptionsDataset",
 ]
