@@ -253,6 +253,35 @@ def train(cfg, logger):
         mesh,
         {**example_batch, **extra_batch},
     )
+
+    # periodic validation loss (trainer.py:204-248; SOLVER.SKIP_VAL_LOSS)
+    eval_fn = None
+    if not cfg.SOLVER.SKIP_VAL_LOSS and cfg.DATASETS.TEST:
+        from cvpr22_cross_modal_pseudo_labeling_tpu.engine.train_step import (
+            build_val_loss_step,
+        )
+
+        val_loaders, _ = make_data_loader(cfg, is_train=False)
+        val_step = jax.jit(build_val_loss_step(model, meta_arch))
+
+        def eval_fn(state, iteration):
+            import itertools
+
+            losses = []
+            for batch, _ in itertools.islice(iter(val_loaders[0]), 8):
+                vb = {
+                    k: jnp.asarray(v)
+                    for k, v in {**batch, **extra_batch}.items()
+                    if isinstance(v, np.ndarray)
+                }
+                out = val_step(state.params, vb)
+                losses.append(float(out["val_total_loss"]))
+            if losses:
+                logger.info(
+                    "iter %d val_loss %.4f", iteration,
+                    float(np.mean(losses)),
+                )
+
     state = do_train(
         step_fn,
         state,
@@ -260,6 +289,7 @@ def train(cfg, logger):
         mesh,
         cfg,
         extra_batch=extra_batch,
+        eval_fn=eval_fn,
         output_dir=cfg.OUTPUT_DIR,
         start_iter=start_iter,
     )
