@@ -102,11 +102,15 @@ def main():
 
     results = {}
 
+    def emit(k, v):
+        results[k] = v
+        print(json.dumps({k: round(v, 2)}), flush=True)
+
     # backbone forward
     bb = jax.jit(
         lambda p, im: model.apply(p, im, method=lambda m, x: m.backbone(x))
     )
-    results["backbone_fwd_ms"] = timed(bb, params, batch["images"]) * 1e3
+    emit("backbone_fwd_ms", timed(bb, params, batch["images"]) * 1e3)
 
     # full rpn forward (backbone + head + anchors + NMS selection)
     rpnf = jax.jit(
@@ -117,8 +121,9 @@ def main():
             )[4],
         )
     )
-    results["backbone_plus_rpn_select_ms"] = (
-        timed(rpnf, params, batch["images"], batch["image_sizes"]) * 1e3
+    emit(
+        "backbone_plus_rpn_select_ms",
+        timed(rpnf, params, batch["images"], batch["image_sizes"]) * 1e3,
     )
 
     # pooling + C5 extraction on 512 random rois per image
@@ -138,14 +143,14 @@ def main():
         return model.apply(p, im, rr, method=run)
 
     pe = jax.jit(pool_extract)
-    results["backbone_pool_c5_ms"] = (
-        timed(pe, params, batch["images"], rois) * 1e3
+    emit(
+        "backbone_pool_c5_ms", timed(pe, params, batch["images"], rois) * 1e3
     )
 
     # loss forward only
     loss_fn = build_loss_fn(model, "GeneralizedRCNN")
     lf = jax.jit(lambda p, bt: loss_fn(p, bt, jax.random.PRNGKey(0))[0])
-    results["loss_fwd_ms"] = timed(lf, params, batch) * 1e3
+    emit("loss_fwd_ms", timed(lf, params, batch) * 1e3)
 
     # full train step
     tx, _ = make_optimizer(
@@ -160,8 +165,8 @@ def main():
     for _ in range(n):
         state, m0 = step(state, batch)
     jax.block_until_ready(m0["total_loss"])
-    results["full_step_ms"] = (time.perf_counter() - t0) / n * 1e3
-    results["imgs_per_sec"] = b / (results["full_step_ms"] / 1e3)
+    emit("full_step_ms", (time.perf_counter() - t0) / n * 1e3)
+    emit("imgs_per_sec", b / (results["full_step_ms"] / 1e3))
 
     print(json.dumps({k: round(v, 2) for k, v in results.items()}))
 
