@@ -19,16 +19,25 @@ sys.path.insert(
 import numpy as np
 
 
-def timed(fn, *args, n=10, warmup=2):
+def _sync(out):
+    """Force full materialization: under the remote tunnel,
+    block_until_ready can return before execution completes — pulling a
+    scalar to the host cannot."""
     import jax
+    import jax.numpy as jnp
 
+    leaf = jax.tree_util.tree_leaves(out)[0]
+    return float(jnp.sum(leaf.astype(jnp.float32)))
+
+
+def timed(fn, *args, n=10, warmup=2):
     for _ in range(warmup):
         out = fn(*args)
-    jax.block_until_ready(out)
+    _sync(out)
     t0 = time.perf_counter()
     for _ in range(n):
         out = fn(*args)
-    jax.block_until_ready(out)
+    _sync(out)
     return (time.perf_counter() - t0) / n
 
 
