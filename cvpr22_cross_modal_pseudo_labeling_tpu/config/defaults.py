@@ -351,7 +351,7 @@ _C.TPU.IMAGE_BUCKETS = ((800, 1333), (1333, 800), (1024, 1024))
 _C.TPU.MESH_AXES = ("data",)
 _C.TPU.MESH_SHAPE = (-1,)
 # NMS tile size for the tiled exact-greedy TPU NMS kernel.
-_C.TPU.NMS_TILE = 256
+_C.TPU.NMS_TILE = 512
 # Mask head trains on at most this many sampled rois per image
 # (positives come first in the sampled layout, so this covers all
 # positives whenever #pos <= cap; mirrors keep_only_positive_boxes).

@@ -61,7 +61,7 @@ class RCNNStatics(NamedTuple):
     mask_dim_reduced: int = 256
     # caps
     max_gt: int = 100
-    nms_tile: int = 256
+    nms_tile: int = 512
     # mask head trains on at most this many sampled rois per image; the
     # sampler orders positives first, so the slice covers all positives
     # whenever #pos <= cap (the reference computes masks for positives
