@@ -40,6 +40,9 @@ _C.MODEL.RESUME = False
 _C.MODEL.UNCERTAINTY_TRAIN_ITER = 10000
 _C.MODEL.NO_PSEUDO_MASK = False
 _C.MODEL.REWEIGHT = True
+# Enable the exemplar-memory pathway updates (off at reference HEAD:
+# the update call is commented out, st_generalized_rcnn.py:325-326)
+_C.MODEL.EXEMPLARS_ENABLED = False
 
 # ---------------------------------------------------------------------------
 # INPUT

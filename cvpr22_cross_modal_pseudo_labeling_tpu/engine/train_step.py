@@ -25,14 +25,19 @@ class TrainState:
     params: Any
     opt_state: Any
     rng: jax.Array
+    # auxiliary non-parameter state (the ST exemplar table; the
+    # reference kept this as per-rank pickle files,
+    # st_generalized_rcnn.py:134-162)
+    extra: Any = None
 
 
-def create_train_state(params, tx, rng) -> TrainState:
+def create_train_state(params, tx, rng, extra=None) -> TrainState:
     return TrainState(
         step=jnp.zeros((), jnp.int32),
         params=params,
         opt_state=tx.init(params["params"] if "params" in params else params),
         rng=rng,
+        extra=extra,
     )
 
 
@@ -64,7 +69,7 @@ def build_loss_fn(model, meta_arch: str, grad_accum: int = 1) -> Callable:
         special_tokens_mask
     """
 
-    def loss_fn(params, batch, rng):
+    def loss_fn(params, batch, rng, extra=None):
         rngs = {
             "sampler": jax.random.fold_in(rng, 0),
             "uncertainty": jax.random.fold_in(rng, 1),
@@ -96,6 +101,7 @@ def build_loss_fn(model, meta_arch: str, grad_accum: int = 1) -> Callable:
                 batch.get("class_embeddings"),
                 batch.get("lvis_class_embeddings"),
                 train=True,
+                exemplars=extra,
                 rngs=rngs,
             )
             losses, info = out.losses, out.info
@@ -139,9 +145,13 @@ def build_train_step(
     def step(state: TrainState, batch):
         rng = jax.random.fold_in(state.rng, state.step)
         grads, (losses, info) = jax.grad(loss_fn, has_aux=True)(
-            state.params, batch, rng
+            state.params, batch, rng, state.extra
         )
         new_state = _apply_update(state, grads, tx)
+        # auxiliary state updates (exemplar table) come back via info
+        new_extra = info.pop("exemplars", None)
+        if new_extra is not None:
+            new_state = new_state.replace(extra=new_extra)
         metrics = {**losses, **info}
         metrics["total_loss"] = sum(losses.values())
         metrics["grad_norm"] = optax.global_norm(grads)

@@ -76,6 +76,7 @@ def st_statics_from_cfg(cfg) -> STStatics:
         uncertainty=cfg.MODEL.UNCERTAINTY,
         reweight=cfg.MODEL.REWEIGHT,
         no_pseudo_mask=cfg.MODEL.NO_PSEUDO_MASK,
+        exemplars_enabled=cfg.MODEL.EXEMPLARS_ENABLED,
         lvis_vocab=1203,
         max_cap_nouns=cfg.TPU.MAX_CAP_NOUNS,
     )

@@ -166,6 +166,43 @@ def test_st_exemplars_enabled(st_setup):
         assert np.isfinite(float(v)), k
 
 
+def test_st_exemplar_state_threads_through_train_step(st_setup):
+    """With MODEL.EXEMPLARS_ENABLED, the train step carries the exemplar
+    table in TrainState.extra and updates it each step."""
+    import optax
+
+    from cvpr22_cross_modal_pseudo_labeling_tpu.engine.train_step import (
+        build_train_step,
+        create_train_state,
+    )
+    from cvpr22_cross_modal_pseudo_labeling_tpu.models.detector.st_generalized_rcnn import (
+        init_exemplar_table,
+    )
+
+    model, params, images, image_sizes, batch, class_emb, lvis_emb = st_setup
+    model_ex = STGeneralizedRCNN(
+        model.statics._replace(exemplars_enabled=True)
+    )
+    tx = optax.sgd(0.001)
+    state = create_train_state(
+        params, tx, jax.random.PRNGKey(0),
+        extra=init_exemplar_table(20, 16),
+    )
+    step = jax.jit(build_train_step(model_ex, tx, "STGeneralizedRCNN"))
+    full_batch = {
+        "images": images,
+        "image_sizes": image_sizes,
+        "class_embeddings": class_emb,
+        "lvis_class_embeddings": lvis_emb,
+        **batch,
+    }
+    state, metrics = step(state, full_batch)
+    assert state.extra is not None
+    assert int(jnp.sum(state.extra["valid"])) >= 1
+    assert "exemplars" not in metrics
+    assert np.isfinite(float(metrics["total_loss"]))
+
+
 def test_st_eval(st_setup):
     model, params, images, image_sizes, batch, class_emb, lvis_emb = st_setup
     out = model.apply(
