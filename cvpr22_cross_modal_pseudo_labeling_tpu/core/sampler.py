@@ -20,11 +20,23 @@ import jax
 import jax.numpy as jnp
 
 
-def _rank_among(priority: jnp.ndarray) -> jnp.ndarray:
-    """rank[i] = position of element i in ascending order of priority."""
-    order = jnp.argsort(priority)
-    rank = jnp.zeros_like(order).at[order].set(jnp.arange(order.shape[0]))
-    return rank
+def _select_random_subset(
+    mask: jnp.ndarray, rand: jnp.ndarray, count: jnp.ndarray, k_cap: int
+) -> jnp.ndarray:
+    """Marks a uniformly random subset of ``count`` eligible elements.
+
+    Implemented with top_k over random priorities (k_cap = static max
+    selectable) instead of a full argsort — at RPN scale the two 63k
+    argsorts per image dominated sampling cost; top_k(k<=256) is far
+    cheaper on TPU.
+    """
+    n = mask.shape[0]
+    k = min(k_cap, n)
+    keyed = jnp.where(mask, rand, -jnp.inf)
+    _, idx = jax.lax.top_k(keyed, k)
+    take = jnp.arange(k) < count
+    out = jnp.zeros((n,), bool).at[idx].set(take, mode="drop")
+    return out & mask
 
 
 def balanced_sample_masks(
@@ -46,16 +58,16 @@ def balanced_sample_masks(
     pos_rand = jax.random.uniform(kp, (n,))
     neg_rand = jax.random.uniform(kn, (n,))
 
-    # Ineligible elements get priority > 1 so they rank after all eligible.
-    pos_rank = _rank_among(jnp.where(pos_mask, pos_rand, 2.0))
-    neg_rank = _rank_among(jnp.where(neg_mask, neg_rand, 2.0))
-
     num_pos = jnp.minimum(jnp.sum(pos_mask.astype(jnp.int32)), num_pos_cap)
     num_neg = jnp.minimum(
         jnp.sum(neg_mask.astype(jnp.int32)), batch_size - num_pos
     )
-    sampled_pos = pos_mask & (pos_rank < num_pos)
-    sampled_neg = neg_mask & (neg_rank < num_neg)
+    sampled_pos = _select_random_subset(
+        pos_mask, pos_rand, num_pos, max(num_pos_cap, 1)
+    )
+    sampled_neg = _select_random_subset(
+        neg_mask, neg_rand, num_neg, batch_size
+    )
     return sampled_pos, sampled_neg
 
 

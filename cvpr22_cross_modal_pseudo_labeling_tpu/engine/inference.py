@@ -93,6 +93,126 @@ def compute_on_dataset(
     return results
 
 
+def compute_on_dataset_bbox_aug(
+    model,
+    params,
+    dataset,
+    class_embeddings: Optional[np.ndarray],
+    bbox_aug: dict,
+) -> List[dict]:
+    """Multi-scale + flip test-time augmentation (reference
+    engine/bbox_aug.py:11-131 via engine/inference.py usage).
+
+    ``bbox_aug`` keys: scales, max_size, h_flip, scale_h_flip,
+    base_scale, base_max_size, pixel_mean, pixel_std, to_bgr255,
+    buckets, size_divisible, nms_thresh, detections_per_img.
+    Each distinct (bucket, ) shape compiles once; variants of an image
+    reuse the cached executable.  Box-only (the reference's TTA path
+    does not aggregate masks either).
+    """
+    from ..data.collate import select_bucket
+    from ..data.transforms import Normalize
+    from .bbox_aug import im_detect_bbox_aug
+
+    class_emb = (
+        jnp.asarray(class_embeddings)
+        if class_embeddings is not None
+        else None
+    )
+    normalize = Normalize(
+        bbox_aug["pixel_mean"],
+        bbox_aug["pixel_std"],
+        bbox_aug.get("to_bgr255", True),
+    )
+
+    @jax.jit
+    def forward(p, images, image_sizes):
+        return model.apply(p, images, image_sizes, class_emb, train=False)
+
+    def make_run_variant():
+        def run_variant(image, hw, flipped):
+            h, w = image.shape[:2]
+            nh, nw = hw
+            img = image
+            if (nh, nw) != (h, w):
+                from PIL import Image as PILImage
+
+                from ..utils.native_image import resize_bilinear_native
+
+                src_u8 = (img * 255).astype(np.uint8)
+                resized = resize_bilinear_native(src_u8, (nh, nw))
+                if resized is None:
+                    resized = np.asarray(
+                        PILImage.fromarray(src_u8).resize(
+                            (nw, nh), PILImage.BILINEAR
+                        )
+                    )
+                img = resized.astype(np.float32) / 255.0
+            if flipped:
+                img = img[:, ::-1]
+            img = normalize({"image": img}, None)["image"]
+            hb, wb = select_bucket(
+                nh, nw, bbox_aug["buckets"],
+                bbox_aug.get("size_divisible", 32),
+            )
+            padded = np.zeros((1, hb, wb, 3), np.float32)
+            padded[0, :nh, :nw] = img
+            out = forward(
+                params,
+                jnp.asarray(padded),
+                jnp.asarray([[nh, nw]], jnp.int32),
+            )
+            dets = jax.device_get(out.detections)
+            keep = dets.valid[0]
+            boxes = dets.boxes[0][keep]
+            # input frame -> original frame (flip stays; the driver
+            # unflips in the original frame)
+            boxes = boxes * np.array(
+                [w / nw, h / nh, w / nw, h / nh], np.float32
+            )
+            return boxes, dets.scores[0][keep], dets.labels[0][keep]
+
+        return run_variant
+
+    run_variant = make_run_variant()
+    results: List[dict] = []
+    contig_to_json = getattr(
+        dataset, "contiguous_category_id_to_json_id", {}
+    )
+    for index in range(len(dataset)):
+        raw = dataset.raw_sample(index)
+        boxes, scores, labels = im_detect_bbox_aug(
+            run_variant,
+            raw["image"],
+            scales=bbox_aug["scales"],
+            max_size=bbox_aug["max_size"],
+            h_flip=bbox_aug["h_flip"],
+            scale_h_flip=bbox_aug["scale_h_flip"],
+            base_scale=bbox_aug["base_scale"],
+            nms_thresh=bbox_aug.get("nms_thresh", 0.5),
+            detections_per_img=bbox_aug.get("detections_per_img", 100),
+        )
+        img_id = raw.get(
+            "image_id",
+            dataset.id_to_img_map[index]
+            if hasattr(dataset, "id_to_img_map")
+            else index,
+        )
+        for b, s, lbl in zip(boxes, scores, labels):
+            x1, y1, x2, y2 = [float(v) for v in b]
+            results.append(
+                {
+                    "image_id": int(img_id),
+                    "category_id": int(
+                        contig_to_json.get(int(lbl), int(lbl))
+                    ),
+                    "bbox": [x1, y1, x2 - x1 + 1.0, y2 - y1 + 1.0],
+                    "score": float(s),
+                }
+            )
+    return results
+
+
 def evaluate_proposals(
     model, params, loader, dataset, limit: int = 1000
 ) -> Dict[str, float]:
@@ -149,16 +269,25 @@ def inference(
     expected_results=(),
     expected_results_sigma_tol: float = 4.0,
     output_file: Optional[str] = None,
+    bbox_aug: Optional[dict] = None,
 ) -> Dict[str, float]:
-    """Full eval pass (engine/inference.py:104-175)."""
+    """Full eval pass (engine/inference.py:104-175).  ``bbox_aug``
+    (TEST.BBOX_AUG.ENABLED) switches to the multi-scale + flip TTA
+    path, which is bbox-only."""
     statics = getattr(model, "statics", None)
     if statics is not None and getattr(statics, "rpn_only", False):
         return evaluate_proposals(model, params, loader, dataset)
     class_emb = getattr(dataset, "class_emb_mtx", None)
     start = time.time()
-    results = compute_on_dataset(
-        model, params, loader, dataset, class_emb
-    )
+    if bbox_aug:
+        results = compute_on_dataset_bbox_aug(
+            model, params, dataset, class_emb, bbox_aug
+        )
+        iou_types = tuple(t for t in iou_types if t == "bbox")
+    else:
+        results = compute_on_dataset(
+            model, params, loader, dataset, class_emb
+        )
     try:
         from ..parallel.mesh import process_allgather
 

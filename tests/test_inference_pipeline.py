@@ -126,3 +126,59 @@ def test_inference_end_to_end(fixture):
     assert "bbox/AP50_split_seen" in metrics
     assert np.isfinite(metrics["bbox/AP"]) or metrics["bbox/AP"] == -1.0
     assert metrics["expected_results_failures"] == 0
+
+
+def test_inference_bbox_aug_end_to_end(fixture):
+    """TEST.BBOX_AUG path: multi-scale + flip TTA drives the same
+    compiled model and produces bbox metrics (bbox-only, like the
+    reference's engine/bbox_aug.py)."""
+    import jax
+    import jax.numpy as jnp
+
+    ann_file, img_dir = fixture
+    cfg = get_default_cfg()
+    cfg.INPUT.MIN_SIZE_TEST = 48
+    cfg.INPUT.MAX_SIZE_TEST = 64
+    cfg.MODEL.MASK_ON = False
+    cfg.MODEL.CLS_AGNOSTIC_BBOX_REG = True
+    cfg.MODEL.ROI_BOX_HEAD.EMBEDDING_BASED = True
+    cfg.MODEL.ROI_BOX_HEAD.EMB_DIM = 16
+    cfg.MODEL.RPN.PRE_NMS_TOP_N_TEST = 64
+    cfg.MODEL.RPN.POST_NMS_TOP_N_TEST = 16
+    cfg.MODEL.ROI_HEADS.DETECTIONS_PER_IMG = 8
+    cfg.MODEL.ROI_HEADS.SCORE_THRESH = 0.0
+    cfg.TPU.NMS_TILE = 64
+
+    ds = COCODataset(
+        ann_file, img_dir, False, transforms=None,
+        extra_args={"LOAD_EMBEDDINGS": True, "EMB_KEY": "BertEmb",
+                    "EMB_DIM": 16},
+    )
+
+    model = GeneralizedRCNN(statics_from_cfg(cfg))
+    params = model.init(
+        {"params": jax.random.PRNGKey(0)},
+        jnp.zeros((1, 64, 64, 3)),
+        jnp.array([[48, 64]], jnp.int32),
+        jnp.asarray(ds.class_emb_mtx),
+        train=False,
+    )
+    bbox_aug = {
+        "scales": (40,),
+        "max_size": 64,
+        "h_flip": True,
+        "scale_h_flip": True,
+        "base_scale": 48,
+        "pixel_mean": cfg.INPUT.PIXEL_MEAN,
+        "pixel_std": cfg.INPUT.PIXEL_STD,
+        "to_bgr255": cfg.INPUT.TO_BGR255,
+        "buckets": ((64, 64),),
+        "size_divisible": 8,
+        "nms_thresh": 0.5,
+        "detections_per_img": 8,
+    }
+    metrics = inference(
+        model, params, None, ds, iou_types=("bbox",), bbox_aug=bbox_aug
+    )
+    assert "bbox/AP" in metrics
+    assert np.isfinite(metrics["bbox/AP"]) or metrics["bbox/AP"] == -1.0

@@ -89,6 +89,22 @@ def main():
         logger.info("imported %d torch tensors", report["matched"])
 
     iou_types = ("bbox",) + (("segm",) if cfg.MODEL.MASK_ON else ())
+    bbox_aug = None
+    if cfg.TEST.BBOX_AUG.ENABLED:
+        bbox_aug = {
+            "scales": cfg.TEST.BBOX_AUG.SCALES,
+            "max_size": cfg.TEST.BBOX_AUG.MAX_SIZE,
+            "h_flip": cfg.TEST.BBOX_AUG.H_FLIP,
+            "scale_h_flip": cfg.TEST.BBOX_AUG.SCALE_H_FLIP,
+            "base_scale": cfg.INPUT.MIN_SIZE_TEST,
+            "pixel_mean": cfg.INPUT.PIXEL_MEAN,
+            "pixel_std": cfg.INPUT.PIXEL_STD,
+            "to_bgr255": cfg.INPUT.TO_BGR255,
+            "buckets": cfg.TPU.IMAGE_BUCKETS,
+            "size_divisible": cfg.DATALOADER.SIZE_DIVISIBILITY,
+            "nms_thresh": cfg.MODEL.ROI_HEADS.NMS,
+            "detections_per_img": cfg.MODEL.ROI_HEADS.DETECTIONS_PER_IMG,
+        }
     for name, loader, dataset in zip(cfg.DATASETS.TEST, loaders, datasets):
         metrics = inference(
             model,
@@ -101,6 +117,7 @@ def main():
             output_file=os.path.join(
                 cfg.OUTPUT_DIR, f"predictions_{name}.json"
             ),
+            bbox_aug=bbox_aug,
         )
         logger.info(
             "eval[%s]: %s",
