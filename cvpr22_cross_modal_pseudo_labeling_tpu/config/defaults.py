@@ -84,6 +84,10 @@ _C.DATALOADER.NUM_WORKERS = 4
 _C.DATALOADER.SIZE_DIVISIBILITY = 0
 _C.DATALOADER.ASPECT_RATIO_GROUPING = True
 _C.DATALOADER.DROP_LAST = False
+# grain-based pipeline (deterministic shuffle/shard + checkpointable
+# iterator state); False = thread-pool PrefetchingLoader
+_C.DATALOADER.USE_GRAIN = False
+_C.DATALOADER.GRAIN_SEED = 0
 
 # ---------------------------------------------------------------------------
 # BACKBONE

@@ -155,6 +155,18 @@ def make_data_loader(
 
     loaders = []
     for ds in datasets:
+        if cfg.DATALOADER.USE_GRAIN:
+            from .grain_loader import make_grain_loader
+
+            loaders.append(
+                make_grain_loader(
+                    cfg, ds, collator, is_train,
+                    start_iter=start_iter,
+                    shard_index=rank,
+                    shard_count=num_hosts,
+                )
+            )
+            continue
         repeat = getattr(ds, "repeat_factors", None)
         sampler = DistributedSampler(
             len(ds),

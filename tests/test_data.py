@@ -213,3 +213,41 @@ def test_repeat_factor_sampler():
     idx = list(s)
     assert idx.count(1) == 3
     assert idx.count(0) == 1
+
+
+def test_make_data_loader_grain_path(tiny_coco):
+    """DATALOADER.USE_GRAIN routes make_data_loader through the grain
+    pipeline and preserves the (batch, indices) contract."""
+    pytest.importorskip("grain")
+    import os
+
+    from cvpr22_cross_modal_pseudo_labeling_tpu.config import (
+        get_default_cfg,
+    )
+    from cvpr22_cross_modal_pseudo_labeling_tpu.data import (
+        make_data_loader,
+    )
+    from cvpr22_cross_modal_pseudo_labeling_tpu.data import paths_catalog
+
+    ann_file, img_dir = tiny_coco
+    paths_catalog.DatasetCatalog.DATASETS["tiny_grain_test"] = {
+        "factory": "COCODataset",
+        "args": {"ann_file": ann_file, "root": img_dir},
+    }
+    cfg = get_default_cfg()
+    cfg.DATASETS.TRAIN = ("tiny_grain_test",)
+    cfg.DATALOADER.USE_GRAIN = True
+    cfg.DATALOADER.NUM_WORKERS = 2
+    cfg.SOLVER.IMS_PER_BATCH = 2
+    cfg.SOLVER.MAX_ITER = 3
+    cfg.INPUT.MIN_SIZE_TRAIN = (48,)
+    cfg.INPUT.MAX_SIZE_TRAIN = 64
+    cfg.TPU.IMAGE_BUCKETS = ((64, 64),)
+    cfg.TPU.MAX_GT = 4
+    loader, ds = make_data_loader(cfg, is_train=True)
+    assert len(loader) == 3
+    batches = list(loader)
+    assert len(batches) == 3
+    batch, indices = batches[0]
+    assert batch["images"].shape[0] == 2
+    assert len(indices) == 2
