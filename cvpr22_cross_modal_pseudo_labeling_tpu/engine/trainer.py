@@ -139,6 +139,7 @@ def do_train(
                     {"state": jax.device_get(state), "iteration": iteration},
                     iteration,
                 )
+                _save_loader_state(output_dir, loader)
         if test_period and eval_fn and iteration % test_period == 0:
             eval_fn(state, iteration)
         end = time.perf_counter()
@@ -151,9 +152,46 @@ def do_train(
             {"state": jax.device_get(state), "iteration": iteration},
             iteration,
         )
+        _save_loader_state(output_dir, loader)
     if writer:
         writer.close()
     return state
+
+
+def _save_loader_state(output_dir: str, loader) -> None:
+    """Persists the data-stream position next to the model checkpoint
+    (grain iterator get_state; no-op for the thread loader, whose
+    resume is start_iter fast-forwarding)."""
+    get_state = getattr(loader, "get_state", None)
+    if get_state is None:
+        return
+    import json
+
+    try:
+        with open(
+            os.path.join(output_dir, "loader_state.json"), "w"
+        ) as f:
+            json.dump(get_state(), f)
+    except Exception as e:
+        get_logger("trainer").warning("loader state not saved: %s", e)
+
+
+def restore_loader_state(output_dir: str, loader) -> bool:
+    """Restores a previously saved data-stream position; returns True
+    when the loader resumed mid-stream."""
+    set_state = getattr(loader, "set_state", None)
+    path = os.path.join(output_dir, "loader_state.json")
+    if set_state is None or not os.path.exists(path):
+        return False
+    import json
+
+    try:
+        with open(path) as f:
+            set_state(json.load(f))
+        return True
+    except Exception as e:
+        get_logger("trainer").warning("loader state not restored: %s", e)
+        return False
 
 
 def compute_class_name_embeddings(

@@ -120,3 +120,34 @@ def test_grain_corrupt_sample_substitution():
 def test_expand_repeat_factors():
     out = _expand_repeat_factors([1.0, 2.0, 1.6, 0.2])
     assert out == [0, 1, 1, 2, 2, 3]
+
+
+def test_loader_state_save_restore_roundtrip(tmp_path):
+    from cvpr22_cross_modal_pseudo_labeling_tpu.engine.trainer import (
+        _save_loader_state,
+        restore_loader_state,
+    )
+
+    loader = GrainLoader(
+        TinyDataset(10), list_collator, batch_size=4,
+        shuffle=True, seed=11, num_iters=6, drop_last=True,
+    )
+    it = loader.iterator()
+    consumed = [tuple(next(it)[1]) for _ in range(2)]
+    _save_loader_state(str(tmp_path), loader)
+    rest = [tuple(idx) for _, idx in it]
+
+    loader2 = GrainLoader(
+        TinyDataset(10), list_collator, batch_size=4,
+        shuffle=True, seed=11, num_iters=6, drop_last=True,
+    )
+    assert restore_loader_state(str(tmp_path), loader2)
+    assert [tuple(idx) for _, idx in loader2] == rest
+    assert len(consumed) == 2
+
+    # thread loader (no get_state) is a no-op on both sides
+    class Plain:
+        pass
+
+    _save_loader_state(str(tmp_path), Plain())
+    assert restore_loader_state(str(tmp_path), Plain()) is False

@@ -243,6 +243,12 @@ def train(cfg, logger):
         state = restored["state"]
         start_iter = int(restored["iteration"])
         logger.info("resumed from %s at iteration %d", last, start_iter)
+        from cvpr22_cross_modal_pseudo_labeling_tpu.engine.trainer import (
+            restore_loader_state,
+        )
+
+        if restore_loader_state(cfg.OUTPUT_DIR, loader):
+            logger.info("data stream resumed from loader_state.json")
 
     mesh = make_mesh(cfg.TPU.MESH_AXES, cfg.TPU.MESH_SHAPE)
     step_fn = jit_train_step(
