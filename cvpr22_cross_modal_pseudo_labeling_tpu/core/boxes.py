@@ -95,13 +95,21 @@ def box_iou(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
     """Pairwise IoU [M, N] between a [M,4] and b [N,4].
 
     Matches boxlist_iou (boxlist_ops.py:53-88) including the +1 term.
+
+    Written per-coordinate (no stacked [M,N,2] intermediate): inside an
+    NMS tile loop the stacked form forced XLA to materialize a
+    [batch,N,tile,2] f32 tensor to HBM every iteration (~400MB at RPN
+    scale); per-coordinate scalars fuse into the consuming reduction.
     """
     area_a = box_area(a)  # [M]
     area_b = box_area(b)  # [N]
-    lt = jnp.maximum(a[:, None, :2], b[None, :, :2])  # [M,N,2]
-    rb = jnp.minimum(a[:, None, 2:], b[None, :, 2:])  # [M,N,2]
-    wh = jnp.clip(rb - lt + TO_REMOVE, 0.0)
-    inter = wh[..., 0] * wh[..., 1]
+    x1 = jnp.maximum(a[:, None, 0], b[None, :, 0])
+    y1 = jnp.maximum(a[:, None, 1], b[None, :, 1])
+    x2 = jnp.minimum(a[:, None, 2], b[None, :, 2])
+    y2 = jnp.minimum(a[:, None, 3], b[None, :, 3])
+    w = jnp.clip(x2 - x1 + TO_REMOVE, 0.0)
+    h = jnp.clip(y2 - y1 + TO_REMOVE, 0.0)
+    inter = w * h
     union = area_a[:, None] + area_b[None, :] - inter
     return inter / jnp.maximum(union, 1e-10)
 

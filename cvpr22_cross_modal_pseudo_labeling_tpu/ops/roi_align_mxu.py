@@ -132,16 +132,31 @@ def roi_align_mxu(
             a_x = _axis_interp_matrix(sw, bw, gw, W, Q, s_cap_w)
             a_y = a_y.astype(compute_dtype)
             a_x = a_x.astype(compute_dtype)
-            # [s, P, H] x [H, W, C] -> [s, P, W, C]
-            tmp = jnp.einsum(
-                "sph,hwc->spwc", a_y, feat,
-                preferred_element_type=jnp.float32,
-            ).astype(compute_dtype)
-            # [s, P, W, C] x [s, Q, W] -> [s, P, Q, C]
-            out = jnp.einsum(
-                "spwc,sqw->spqc", tmp, a_x,
-                preferred_element_type=jnp.float32,
-            )
+            # Contraction order picks the smaller materialized
+            # intermediate ([s,P,W,C] vs [s,H,Q,C]) — the chain is
+            # HBM-bound, so intermediate bytes dominate, not FLOPs.
+            if H * Q <= P * W:
+                # [s, Q, W] x [H, W, C] -> [s, H, Q, C]
+                tmp = jnp.einsum(
+                    "sqw,hwc->shqc", a_x, feat,
+                    preferred_element_type=jnp.float32,
+                ).astype(compute_dtype)
+                # [s, P, H] x [s, H, Q, C] -> [s, P, Q, C]
+                out = jnp.einsum(
+                    "sph,shqc->spqc", a_y, tmp,
+                    preferred_element_type=jnp.float32,
+                )
+            else:
+                # [s, P, H] x [H, W, C] -> [s, P, W, C]
+                tmp = jnp.einsum(
+                    "sph,hwc->spwc", a_y, feat,
+                    preferred_element_type=jnp.float32,
+                ).astype(compute_dtype)
+                # [s, P, W, C] x [s, Q, W] -> [s, P, Q, C]
+                out = jnp.einsum(
+                    "spwc,sqw->spqc", tmp, a_x,
+                    preferred_element_type=jnp.float32,
+                )
             return out.astype(compute_dtype)
 
         n_chunks = -(-S // roi_chunk)
