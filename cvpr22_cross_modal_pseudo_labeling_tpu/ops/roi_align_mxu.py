@@ -136,14 +136,19 @@ def roi_align_mxu(
             # intermediate ([s,P,W,C] vs [s,H,Q,C]) — the chain is
             # HBM-bound, so intermediate bytes dominate, not FLOPs.
             if H * Q <= P * W:
-                # [s, Q, W] x [H, W, C] -> [s, H, Q, C]
+                # [s, Q, W] x [H, W, C] -> [s, Q, H, C]
+                # (sqhc ordering: both dots agree on layout — shqc/hsqc
+                # made XLA insert a ~10ms transpose copy of the
+                # intermediate per chunk; measured in
+                # tools/bench_roialign.py: sqhc 20.5/26.2ms fwd/grad vs
+                # shqc 30.9/39.0 at C4 bench shapes)
                 tmp = jnp.einsum(
-                    "sqw,hwc->shqc", a_x, feat,
+                    "sqw,hwc->sqhc", a_x, feat,
                     preferred_element_type=jnp.float32,
                 ).astype(compute_dtype)
-                # [s, P, H] x [s, H, Q, C] -> [s, P, Q, C]
+                # [s, P, H] x [s, Q, H, C] -> [s, P, Q, C]
                 out = jnp.einsum(
-                    "sph,shqc->spqc", a_y, tmp,
+                    "sph,sqhc->spqc", a_y, tmp,
                     preferred_element_type=jnp.float32,
                 )
             else:
