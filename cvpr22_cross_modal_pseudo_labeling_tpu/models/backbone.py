@@ -30,6 +30,7 @@ class ResNetBackbone(nn.Module):
     stage_with_dcn: tuple = (False, False, False, False)
     with_modulated_dcn: bool = False
     norm: str = "frozen_bn"
+    freeze_at: int = 0
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -39,6 +40,7 @@ class ResNetBackbone(nn.Module):
         feats = ResNet(
             stages=stages,
             return_stages=(ret,),
+            freeze_at=self.freeze_at,
             stem_out_channels=self.stem_out_channels,
             res2_out_channels=self.res2_out_channels,
             num_groups=self.num_groups,
@@ -63,6 +65,7 @@ class ResNetFPNBackbone(nn.Module):
     stage_with_dcn: tuple = (False, False, False, False)
     with_modulated_dcn: bool = False
     norm: str = "frozen_bn"
+    freeze_at: int = 0
     stem_out_channels: int = 64
     res2_out_channels: int = 256
     num_groups: int = 1
@@ -75,6 +78,7 @@ class ResNetFPNBackbone(nn.Module):
         feats = ResNet(
             stages=RESNET_STAGES[self.depth],
             return_stages=("C2", "C3", "C4", "C5"),
+            freeze_at=self.freeze_at,
             stem_out_channels=self.stem_out_channels,
             res2_out_channels=self.res2_out_channels,
             num_groups=self.num_groups,
@@ -120,6 +124,7 @@ def build_backbone(cfg, dtype=jnp.float32) -> Tuple[nn.Module, dict]:
         stage_with_dcn=tuple(r.STAGE_WITH_DCN),
         with_modulated_dcn=r.WITH_MODULATED_DCN,
         norm="gn" if "GN" in r.TRANS_FUNC else "frozen_bn",
+        freeze_at=cfg.MODEL.BACKBONE.FREEZE_CONV_BODY_AT,
         dtype=dtype,
     )
     if body.endswith("-C4"):

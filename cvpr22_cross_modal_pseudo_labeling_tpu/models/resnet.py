@@ -16,6 +16,7 @@ tree) but are excluded from optimization by path ("frozen_bn").
 from typing import Any, Dict, Sequence, Tuple
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
 
 # (stage block counts, include_stage5) per CONV_BODY
@@ -245,6 +246,12 @@ class ResNet(nn.Module):
     stage_with_dcn: Sequence[bool] = (False, False, False, False)
     with_modulated_dcn: bool = False
     norm: str = "frozen_bn"
+    # FREEZE_CONV_BODY_AT semantics (reference resnet.py:134-143): k
+    # freezes stem + layers 1..k-1.  Applied as stop_gradient at the
+    # freeze boundary so XLA deletes the frozen prefix's backward
+    # entirely (the optimizer mask alone still paid for computing those
+    # gradients at the largest spatial resolutions).
+    freeze_at: int = 0
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -252,6 +259,8 @@ class ResNet(nn.Module):
         x = Stem(
             self.stem_out_channels, self.norm, self.dtype, name="stem"
         )(x)
+        if self.freeze_at > 0:
+            x = jax.lax.stop_gradient(x)
         out = {}
         in_ch = self.stem_out_channels
         stage2_bottleneck = self.num_groups * self.width_per_group
@@ -280,6 +289,8 @@ class ResNet(nn.Module):
                 dtype=self.dtype,
                 name=f"layer{stage_num - 1}",
             )(x)
+            if stage_num - 1 < self.freeze_at:
+                x = jax.lax.stop_gradient(x)
             in_ch = out_ch
             out[f"C{stage_num}"] = x
         return {k: out[k] for k in self.return_stages}
