@@ -50,7 +50,7 @@ def pool_rois(
     output_size: Tuple[int, int],
     scales: Sequence[float],
     sampling_ratio: int,
-    roi_chunk: int = 256,
+    roi_chunk: int = 512,
     use_mxu: bool = True,
 ) -> jnp.ndarray:
     """Pools [B, S, 4] boxes against one or more feature levels.

@@ -165,6 +165,11 @@ def roi_align_mxu(
             return out.astype(compute_dtype)
 
         n_chunks = -(-S // roi_chunk)
+        if n_chunks == 1:
+            # single chunk: call directly — the length-1 lax.map would
+            # still stage a scan whose dynamic-update-slice copies cost
+            # several ms/step at C4 bench shapes
+            return chunk_fn((s_h, s_w, b_h, b_w, g_h, g_w))
         pad = n_chunks * roi_chunk - S
         # pad with benign values: zero grid/bin sizes would produce
         # inf/NaN that poison gradients through the slice (NaN * 0 = NaN)
