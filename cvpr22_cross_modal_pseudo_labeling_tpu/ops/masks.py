@@ -53,6 +53,25 @@ def _sample_bilinear(mask: jnp.ndarray, ys: jnp.ndarray, xs: jnp.ndarray):
     return v
 
 
+def _axis_tap_matrix(coords: jnp.ndarray, size: int) -> jnp.ndarray:
+    """[N] float sample positions -> [N, size] two-tap bilinear weight
+    rows (same boundary rules as _sample_bilinear: out-of-range taps
+    contribute zero, indices clamp).  Lets the resample run as matmuls
+    instead of gathers — at train-step scale the gather formulation
+    cost ~23ms/step in XLA's custom gather fusions."""
+    i0 = jnp.floor(coords).astype(jnp.int32)
+    l = coords - i0
+    w0 = jnp.where((i0 >= 0) & (i0 <= size - 1), 1.0 - l, 0.0)
+    w1 = jnp.where((i0 + 1 >= 0) & (i0 + 1 <= size - 1), l, 0.0)
+    i0c = jnp.clip(i0, 0, size - 1)
+    i1c = jnp.clip(i0 + 1, 0, size - 1)
+    pos = jnp.arange(size)[None, :]
+    return (
+        w0[:, None] * (pos == i0c[:, None])
+        + w1[:, None] * (pos == i1c[:, None])
+    )
+
+
 def crop_resize_from_box_frame(
     src_mask: jnp.ndarray,
     src_box: jnp.ndarray,
@@ -65,6 +84,10 @@ def crop_resize_from_box_frame(
     Grid convention follows torch ``interpolate(align_corners=False)``:
     mask pixel (i + 0.5) / M spans the box extent (w = x2 - x1 + 1, the
     legacy +1, per paste_mask_in_image inference.py:131-141).
+
+    Computed as the separable matmul W_y @ mask @ W_x^T (gather-free;
+    identical numerics — each output pixel is the same two-tap-per-axis
+    sum, zeros elsewhere).
     """
     oh, ow = out_size
     m_h, m_w = src_mask.shape
@@ -79,7 +102,9 @@ def crop_resize_from_box_frame(
     # map into src mask pixel coords (continuous), then to sample coords
     ys = (ys_img - src_box[1]) / src_h * m_h - 0.5
     xs = (xs_img - src_box[0]) / src_w * m_w - 0.5
-    return _sample_bilinear(src_mask, ys, xs)
+    w_y = _axis_tap_matrix(ys, m_h)  # [oh, m_h]
+    w_x = jnp.transpose(_axis_tap_matrix(xs, m_w))  # [m_w, ow]
+    return w_y @ src_mask.astype(w_y.dtype) @ w_x
 
 
 crop_resize_from_box_frame_batch = jax.vmap(
