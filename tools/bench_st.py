@@ -13,6 +13,7 @@ import time
 sys.path.insert(
     0, os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 )
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 import numpy as np
 
@@ -128,6 +129,15 @@ def main():
     jax.block_until_ready(m["total_loss"])
     state, m = step(state, batch)
     jax.block_until_ready(m["total_loss"])
+    trace_dir = os.environ.get("ST_PROFILE_DIR")
+    if trace_dir:
+        with jax.profiler.trace(trace_dir):
+            for _ in range(3):
+                state, m = step(state, batch)
+            float(m["total_loss"])
+        from profile_step import summarize_trace
+
+        summarize_trace(trace_dir, 3)
     n = 10
     t0 = time.perf_counter()
     for _ in range(n):
