@@ -363,6 +363,9 @@ _C.TPU.NMS_TILE = 512
 # (positives come first in the sampled layout, so this covers all
 # positives whenever #pos <= cap; mirrors keep_only_positive_boxes).
 _C.TPU.MASK_POS_CAP = 256
+# pool only the bins a stride_in_1x1 stride-2 C5 head actually reads
+# (even 7x7 of the 14x14 grid) — bit-identical, 4x less pooling work
+_C.TPU.POOL_PRESTRIDE = True
 
 
 def get_default_cfg() -> CN:

@@ -53,6 +53,11 @@ class RCNNStatics(NamedTuple):
     pooler_resolution: int = 14
     pooler_scales: Tuple[float, ...] = (1.0 / 16,)
     pooler_sampling_ratio: int = 0
+    # pool only the even 14x14 bins (7x7) and run C5 with first_stride
+    # 1 — bit-identical when the C5 head is stride_in_1x1 stride-2
+    # (both 1x1 convs read even positions only), 4x less pooling work.
+    # Forced off when stride_in_1x1 is False or res5_dilation != 1.
+    pool_prestride: bool = True
     # mask head
     mask_on: bool = True
     mask_resolution: int = 14
@@ -121,6 +126,11 @@ def statics_from_cfg(cfg) -> RCNNStatics:
         pooler_resolution=m.ROI_BOX_HEAD.POOLER_RESOLUTION,
         pooler_scales=tuple(m.ROI_BOX_HEAD.POOLER_SCALES),
         pooler_sampling_ratio=m.ROI_BOX_HEAD.POOLER_SAMPLING_RATIO,
+        pool_prestride=(
+            cfg.TPU.POOL_PRESTRIDE
+            and m.RESNETS.STRIDE_IN_1X1
+            and m.RESNETS.RES5_DILATION == 1
+        ),
         mask_on=m.MASK_ON,
         mask_resolution=m.ROI_MASK_HEAD.RESOLUTION,
         cls_agnostic_mask=m.CLS_AGNOSTIC_MASK,

@@ -309,12 +309,19 @@ class ResNetRoIHead(nn.Module):
     width_per_group: int = 64
     stride_in_1x1: bool = True
     dilation: int = 1
+    # prestrided: the pooler already emitted only the even bins
+    # (pool_rois bin_stride=2), so the stride-2 that the first 1x1
+    # convs would apply is a no-op — run them stride 1.  Bit-identical
+    # when stride_in_1x1 and dilation == 1; 4x less pooling work.
+    prestrided: bool = False
     dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x):
         bottleneck = self.num_groups * self.width_per_group * 8
         first_stride = 2 if self.dilation == 1 else 1
+        if self.prestrided:
+            first_stride = 1
         return ResNetStage(
             block_count=self.block_count,
             in_channels=self.in_channels,

@@ -33,6 +33,7 @@ class RoIHeadsBundle(nn.Module):
             width_per_group=s.width_per_group,
             stride_in_1x1=s.stride_in_1x1,
             dilation=s.res5_dilation,
+            prestrided=s.pool_prestride,
             dtype=dtype,
         )
         self.box_predictor = BoxPredictor(
@@ -60,6 +61,7 @@ class RoIHeadsBundle(nn.Module):
             (s.pooler_resolution, s.pooler_resolution),
             s.pooler_scales,
             s.pooler_sampling_ratio,
+            bin_stride=2 if s.pool_prestride else 1,
         )
         return self.roi_extractor(pooled.astype(_dtype(s)))
 

@@ -52,12 +52,16 @@ def pool_rois(
     sampling_ratio: int,
     roi_chunk: int = 512,
     use_mxu: bool = True,
+    bin_stride: int = 1,
 ) -> jnp.ndarray:
     """Pools [B, S, 4] boxes against one or more feature levels.
 
-    Returns [B*S, P, Q, C].  The single-level hot path uses the
-    gather-free MXU formulation (ops/roi_align_mxu.py); the gather
-    formulation remains for multi-level FPN and as the golden path.
+    Returns [B*S, P', Q', C] where P' = ceil(P/bin_stride).  The
+    single-level hot path uses the gather-free MXU formulation
+    (ops/roi_align_mxu.py); the gather formulation remains for
+    multi-level FPN and as the golden path.  ``bin_stride=2`` emits
+    only the even bins — exactly the positions a stride-2
+    stride_in_1x1 C5 head reads (see ResNetRoIHead ``prestrided``).
     """
     if len(features) == 1 and use_mxu:
         from ...ops.roi_align_mxu import roi_align_mxu
@@ -65,15 +69,19 @@ def pool_rois(
         out = roi_align_mxu(
             features[0], boxes, output_size, scales[0], sampling_ratio,
             roi_chunk=min(roi_chunk, boxes.shape[1]),
+            bin_stride=bin_stride,
         )
         b, s = boxes.shape[:2]
         return out.reshape(b * s, *out.shape[2:])
     rois = boxes_to_rois(boxes)
     if len(features) == 1:
-        return roi_align(
+        out = roi_align(
             features[0], rois, output_size, scales[0], sampling_ratio,
             roi_chunk=roi_chunk,
         )
+        if bin_stride > 1:
+            out = out[:, ::bin_stride, ::bin_stride]
+        return out
 
     k_min = -int(round(math.log2(scales[0])))
     k_max = -int(round(math.log2(scales[-1])))

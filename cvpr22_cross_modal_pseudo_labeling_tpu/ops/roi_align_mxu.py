@@ -43,16 +43,23 @@ def _axis_interp_matrix(
     size: int,
     bins: int,
     s_cap: int,
+    bin_stride: int = 1,
 ) -> jnp.ndarray:
-    """Builds A [R, bins, size]: accumulated bilinear tap weights per
-    output bin over input positions, averaged over the per-roi sample
-    grid.  Boundary rules match ROIAlign_cpu.cpp:44-92."""
+    """Builds A [R, ceil(bins/bin_stride), size]: accumulated bilinear
+    tap weights per output bin over input positions, averaged over the
+    per-roi sample grid.  Boundary rules match ROIAlign_cpu.cpp:44-92.
+
+    ``bin_stride`` > 1 computes only every bin_stride-th bin (same bin
+    geometry): when the consumer is a stride-s conv whose first tap is
+    1x1 (stride_in_1x1 C5 heads), the skipped bins are exactly the
+    positions that conv would discard, so pooling them is wasted work.
+    """
     r = start.shape[0]
     dtype = start.dtype
-    p_idx = jnp.arange(bins, dtype=dtype)[None, :]  # [1, bins]
+    p_idx = jnp.arange(0, bins, bin_stride, dtype=dtype)[None, :]
     pos_iota = jnp.arange(size)[None, None, :]  # [1, 1, size]
 
-    a = jnp.zeros((r, bins, size), dtype)
+    a = jnp.zeros((r, p_idx.shape[1], size), dtype)
     g = grid[:, None].astype(dtype)  # [R, 1]
     for i in range(s_cap):
         coord = (
@@ -81,7 +88,7 @@ def _axis_interp_matrix(
     jax.jit,
     static_argnames=(
         "output_size", "spatial_scale", "sampling_ratio", "max_samples",
-        "roi_chunk",
+        "roi_chunk", "bin_stride",
     ),
 )
 def roi_align_mxu(
@@ -92,11 +99,14 @@ def roi_align_mxu(
     sampling_ratio: int = 0,
     max_samples: int = 8,
     roi_chunk: int = 128,
+    bin_stride: int = 1,
 ) -> jnp.ndarray:
     """features [B, H, W, C]; rois_per_image [B, S, 4] xyxy (image-frame
     coordinates, roi i of image b pools from features[b]).
 
-    Returns [B, S, P, Q, C].
+    Returns [B, S, ceil(P/bin_stride), ceil(Q/bin_stride), C];
+    bin_stride keeps the output_size bin geometry but emits only every
+    bin_stride-th bin on each axis (see _axis_interp_matrix).
     """
     P, Q = output_size
     B, H, W, C = features.shape
@@ -125,17 +135,24 @@ def roi_align_mxu(
 
     compute_dtype = features.dtype
 
+    out_p = -(-P // bin_stride)
+    out_q = -(-Q // bin_stride)
+
     def per_image(feat, s_h, s_w, b_h, b_w, g_h, g_w):
         def chunk_fn(args):
             sh, sw, bh, bw, gh, gw = args
-            a_y = _axis_interp_matrix(sh, bh, gh, H, P, s_cap_h)
-            a_x = _axis_interp_matrix(sw, bw, gw, W, Q, s_cap_w)
+            a_y = _axis_interp_matrix(
+                sh, bh, gh, H, P, s_cap_h, bin_stride
+            )
+            a_x = _axis_interp_matrix(
+                sw, bw, gw, W, Q, s_cap_w, bin_stride
+            )
             a_y = a_y.astype(compute_dtype)
             a_x = a_x.astype(compute_dtype)
             # Contraction order picks the smaller materialized
             # intermediate ([s,P,W,C] vs [s,H,Q,C]) — the chain is
             # HBM-bound, so intermediate bytes dominate, not FLOPs.
-            if H * Q <= P * W:
+            if H * out_q <= out_p * W:
                 # [s, Q, W] x [H, W, C] -> [s, Q, H, C]
                 # (sqhc ordering: both dots agree on layout — shqc/hsqc
                 # made XLA insert a ~10ms transpose copy of the
@@ -181,7 +198,7 @@ def roi_align_mxu(
             v.reshape(n_chunks, roi_chunk, *v.shape[1:]) for v in padded
         ]
         out = jax.lax.map(chunk_fn, tuple(shaped))
-        return out.reshape(n_chunks * roi_chunk, P, Q, C)[:S]
+        return out.reshape(n_chunks * roi_chunk, out_p, out_q, C)[:S]
 
     return jax.vmap(per_image)(
         features, start_h, start_w, bin_h, bin_w, grid_h, grid_w
