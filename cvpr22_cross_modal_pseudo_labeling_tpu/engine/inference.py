@@ -29,8 +29,14 @@ def compute_on_dataset(
     class_embeddings: Optional[np.ndarray],
     mask_on: bool = True,
     apply_kwargs: Optional[dict] = None,
+    mesh=None,
 ) -> List[dict]:
-    """Runs eval forward over the loader; returns COCO-format results."""
+    """Runs eval forward over the loader; returns COCO-format results.
+
+    ``mesh`` shards the eval batch over the 'data' axis of a device
+    mesh (single-process multi-chip eval; the multi-HOST split is the
+    per-process dataset shard + process_allgather, matching the
+    reference's per-rank inference, engine/inference.py:25-46)."""
     logger = get_logger("inference")
     apply_kwargs = apply_kwargs or {}
     class_emb = (
@@ -39,11 +45,31 @@ def compute_on_dataset(
         else None
     )
 
-    @jax.jit
-    def forward(p, images, image_sizes):
+    def _forward(p, images, image_sizes):
         return model.apply(
             p, images, image_sizes, class_emb, train=False, **apply_kwargs
         )
+
+    fallback = jax.jit(_forward)
+    if mesh is not None:
+        from ..parallel.mesh import data_sharded, replicated
+
+        sharded = jax.jit(
+            _forward,
+            in_shardings=(
+                replicated(mesh), data_sharded(mesh), data_sharded(mesh)
+            ),
+        )
+        n_data = int(np.prod(mesh.devices.shape))
+
+        def forward(p, images, image_sizes):
+            # ragged final batch falls back to the unsharded program
+            if images.shape[0] % n_data == 0:
+                return sharded(p, images, image_sizes)
+            return fallback(p, images, image_sizes)
+
+    else:
+        forward = fallback
 
     results: List[dict] = []
     timer = Timer()
@@ -270,6 +296,7 @@ def inference(
     expected_results_sigma_tol: float = 4.0,
     output_file: Optional[str] = None,
     bbox_aug: Optional[dict] = None,
+    mesh=None,
 ) -> Dict[str, float]:
     """Full eval pass (engine/inference.py:104-175).  ``bbox_aug``
     (TEST.BBOX_AUG.ENABLED) switches to the multi-scale + flip TTA
@@ -286,7 +313,7 @@ def inference(
         iou_types = tuple(t for t in iou_types if t == "bbox")
     else:
         results = compute_on_dataset(
-            model, params, loader, dataset, class_emb
+            model, params, loader, dataset, class_emb, mesh=mesh
         )
     try:
         from ..parallel.mesh import process_allgather

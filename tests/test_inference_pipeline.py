@@ -128,6 +128,59 @@ def test_inference_end_to_end(fixture):
     assert metrics["expected_results_failures"] == 0
 
 
+def test_inference_mesh_sharded_eval(fixture):
+    """Single-process multi-chip eval: the eval batch shards over the
+    'data' mesh axis; ragged final batches fall back to the unsharded
+    program."""
+    import jax
+    import jax.numpy as jnp
+
+    ann_file, img_dir = fixture
+    cfg = get_default_cfg()
+    cfg.INPUT.MIN_SIZE_TEST = 48
+    cfg.INPUT.MAX_SIZE_TEST = 64
+    cfg.MODEL.MASK_ON = False
+    cfg.MODEL.CLS_AGNOSTIC_BBOX_REG = True
+    cfg.MODEL.ROI_BOX_HEAD.EMBEDDING_BASED = True
+    cfg.MODEL.ROI_BOX_HEAD.EMB_DIM = 16
+    cfg.MODEL.RPN.PRE_NMS_TOP_N_TEST = 64
+    cfg.MODEL.RPN.POST_NMS_TOP_N_TEST = 16
+    cfg.MODEL.ROI_HEADS.DETECTIONS_PER_IMG = 8
+    cfg.MODEL.ROI_HEADS.SCORE_THRESH = 0.0
+    cfg.TPU.NMS_TILE = 64
+
+    tf = build_transforms(cfg, is_train=False)
+    ds = COCODataset(
+        ann_file, img_dir, False, transforms=tf,
+        extra_args={"LOAD_EMBEDDINGS": True, "EMB_KEY": "BertEmb",
+                    "EMB_DIM": 16},
+    )
+    collator = BatchCollator(
+        buckets=((64, 64),), max_gt=4, max_cap_tokens=8, max_cap_nouns=2
+    )
+    # batch of 2 over a 2-device mesh -> sharded program; final ragged
+    # batch of 1 -> fallback
+    loader = ListLoader(ds, collator, batch_size=2)
+
+    model = GeneralizedRCNN(statics_from_cfg(cfg))
+    params = model.init(
+        {"params": jax.random.PRNGKey(0)},
+        jnp.zeros((1, 64, 64, 3)),
+        jnp.array([[48, 64]], jnp.int32),
+        jnp.asarray(ds.class_emb_mtx),
+        train=False,
+    )
+    import numpy as _np
+
+    from jax.sharding import Mesh
+
+    mesh = Mesh(_np.array(jax.devices()[:2]), ("data",))
+    metrics = inference(
+        model, params, loader, ds, iou_types=("bbox",), mesh=mesh
+    )
+    assert "bbox/AP" in metrics
+
+
 def test_inference_bbox_aug_end_to_end(fixture):
     """TEST.BBOX_AUG path: multi-scale + flip TTA drives the same
     compiled model and produces bbox metrics (bbox-only, like the

@@ -105,6 +105,13 @@ def main():
             "nms_thresh": cfg.MODEL.ROI_HEADS.NMS,
             "detections_per_img": cfg.MODEL.ROI_HEADS.DETECTIONS_PER_IMG,
         }
+    mesh = None
+    if len(jax.devices()) > 1:
+        from cvpr22_cross_modal_pseudo_labeling_tpu.parallel.mesh import (
+            make_mesh,
+        )
+
+        mesh = make_mesh(cfg.TPU.MESH_AXES, cfg.TPU.MESH_SHAPE)
     for name, loader, dataset in zip(cfg.DATASETS.TEST, loaders, datasets):
         metrics = inference(
             model,
@@ -118,6 +125,7 @@ def main():
                 cfg.OUTPUT_DIR, f"predictions_{name}.json"
             ),
             bbox_aug=bbox_aug,
+            mesh=mesh,
         )
         logger.info(
             "eval[%s]: %s",
