@@ -12,6 +12,7 @@ imgs/sec/chip-vs-A100 north star.
 """
 
 import json
+import os
 import sys
 import time
 
@@ -59,6 +60,8 @@ def main():
     cfg.MODEL.BACKBONE.FREEZE_CONV_BODY_AT = 2
     cfg.TPU.COMPUTE_DTYPE = "bfloat16"
     cfg.TPU.MAX_GT = 20
+    # experiment knob (default matches the committed config)
+    cfg.TPU.NMS_TILE = int(os.environ.get("BENCH_NMS_TILE", "512"))
 
     model = GeneralizedRCNN(statics_from_cfg(cfg))
     rng = np.random.RandomState(0)
