@@ -83,7 +83,8 @@ class CocoStyleEvaluator:
                 bool(g.get("iscrowd", 0))
                 or not (at0 <= g.get("area", 0) <= at1)
                 for g in gts
-            ]
+            ],
+            dtype=bool,  # explicit: np.array([]) defaults to float64
         )
         order_g = np.argsort(gt_ignore, kind="stable")
         gts = [gts[i] for i in order_g]

@@ -65,10 +65,17 @@ def latest_checkpoint(directory: str) -> Optional[str]:
     return None
 
 
-def load_checkpoint(path: str, target_state):
+def load_checkpoint(path: str, target_state=None):
+    """Restores an orbax checkpoint.  With ``target_state=None`` the
+    raw on-disk tree is returned as nested dicts/arrays — eval-side
+    callers (tools/test_net.py) that only need ``state.params`` use
+    this rather than reconstructing the full TrainState (optimizer,
+    rngs) just to satisfy structure matching."""
     import orbax.checkpoint as ocp
 
     ckptr = ocp.StandardCheckpointer()
+    if target_state is None:
+        return ckptr.restore(path)
     return ckptr.restore(path, target=jax.device_get(target_state))
 
 
@@ -111,7 +118,11 @@ _TORCH_LEAF_MAP = {
 def _normalize_torch_key(key: str) -> str:
     """Converts a torch dotted name into a slash path in our module
     vocabulary: layerN.M -> layerN/blockM, downsample.0/1 ->
-    downsample_conv/bn, predictor/extractor names flattened."""
+    downsample_conv/bn, predictor/extractor names flattened, and the
+    student-teacher module names mapped onto our subtrees
+    (roi_heads -> teacher, roi_heads_student -> student) so a full ST
+    checkpoint routes each bundle deterministically instead of tying on
+    the shared suffix (the round-1 dual-population defect)."""
     parts = key.split(".")
     out = []
     i = 0
@@ -128,6 +139,31 @@ def _normalize_torch_key(key: str) -> str:
             )
             i += 2
             continue
+        if p == "roi_heads_student":
+            out.append("student")
+            i += 1
+            continue
+        if p == "roi_heads":
+            out.append("teacher")
+            i += 1
+            continue
+        # roi_heads.{box,mask}.predictor -> {box,mask}_predictor;
+        # roi_heads.{box,mask}.feature_extractor.head -> roi_extractor
+        # (reference box_head/roi_box_feature_extractors.py:13-46 pooler
+        # + ResNetHead; ours is the shared RoIHeadsBundle.roi_extractor)
+        if p in ("box", "mask") and i + 1 < len(parts):
+            if parts[i + 1] == "predictor":
+                out.append(f"{p}_predictor")
+                i += 2
+                continue
+            if (
+                parts[i + 1] == "feature_extractor"
+                and i + 2 < len(parts)
+                and parts[i + 2] == "head"
+            ):
+                out.append("roi_extractor")
+                i += 3
+                continue
         out.append(p)
         i += 1
     return "/".join(out)
@@ -244,6 +280,39 @@ def import_torch_state_dict(
         ],
     }
     return _unflatten(new_flat), report
+
+
+def populate_student_from_teacher(
+    params: Dict[str, Any],
+    teacher_key: str = "teacher",
+    student_key: str = "student",
+) -> Tuple[Dict[str, Any], int]:
+    """prepare_model step 3 (reference st_generalized_rcnn.py:197-199):
+    at iteration 0, unless ``MODEL.RESUME``, the student roi_heads are
+    initialized as a copy of the (frozen) teacher roi_heads
+    (``load_state_dict(teacher.state_dict(), strict=False)``).
+
+    Copies every ``teacher/...`` leaf onto the same relative path under
+    ``student/...`` when it exists with the same shape; student-only
+    leaves (e.g. the uncertainty head's ``uncertain_pred``) are left at
+    their fresh initialization, matching ``strict=False``.
+
+    Returns (new_params, number_of_leaves_copied)."""
+    flat = _flatten_params(params)
+    out = dict(flat)
+    copied = 0
+    for path, v in flat.items():
+        if not path or path[0] != teacher_key:
+            continue
+        spath = (student_key,) + path[1:]
+        tgt = flat.get(spath)
+        if tgt is not None and tuple(np.shape(tgt)) == tuple(np.shape(v)):
+            # materialize a distinct buffer: aliasing the teacher leaf
+            # makes a donating jitted train step fail with "attempt to
+            # donate the same buffer twice"
+            out[spath] = np.array(v)
+            copied += 1
+    return _unflatten(out), copied
 
 
 def load_torch_checkpoint(path: str) -> Dict[str, np.ndarray]:

@@ -46,8 +46,15 @@ def compute_on_dataset(
     )
 
     def _forward(p, images, image_sizes):
+        # class_embeddings by keyword: STGeneralizedRCNN's third
+        # positional is `batch`, not the vocabulary (ADVICE r1).
         return model.apply(
-            p, images, image_sizes, class_emb, train=False, **apply_kwargs
+            p,
+            images,
+            image_sizes,
+            class_embeddings=class_emb,
+            train=False,
+            **apply_kwargs,
         )
 
     fallback = jax.jit(_forward)
@@ -153,7 +160,9 @@ def compute_on_dataset_bbox_aug(
 
     @jax.jit
     def forward(p, images, image_sizes):
-        return model.apply(p, images, image_sizes, class_emb, train=False)
+        return model.apply(
+            p, images, image_sizes, class_embeddings=class_emb, train=False
+        )
 
     def make_run_variant():
         def run_variant(image, hw, flipped):
@@ -248,7 +257,9 @@ def evaluate_proposals(
 
     @jax.jit
     def forward(p, images, image_sizes):
-        return model.apply(p, images, image_sizes, None, train=False)
+        return model.apply(
+            p, images, image_sizes, class_embeddings=None, train=False
+        )
 
     proposals_by_image = {}
     for batch, indices in loader:

@@ -24,6 +24,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from ...core.box_coder import decode_boxes
 from ...core.boxes import clip_to_image
 from ..backbone import ResNetBackbone, ResNetFPNBackbone
 from ..resnet import RESNET_STAGES, ResNetRoIHead
@@ -65,6 +66,7 @@ class TeacherPseudoOutput(NamedTuple):
     proposals: RPNProposals  # [B, P]
     embeddings: jnp.ndarray  # [B, P, emb_dim] region embeddings
     class_logits: jnp.ndarray  # [B, P, C] vs the injected vocabulary
+    boxes: jnp.ndarray  # [B, P, 4] teacher-regressed + clipped boxes
 
 
 def _dtype(s: RCNNStatics):
@@ -416,18 +418,27 @@ class GeneralizedRCNN(nn.Module):
         """bbox_only, eval-mode forward that keeps the proposal/box
         alignment (is_teacher postprocessor skips filtering —
         box_head/inference.py:97-98) and returns emb_pred region
-        embeddings (st_generalized_rcnn.py:226-228)."""
+        embeddings (st_generalized_rcnn.py:226-228).  ``boxes`` are the
+        teacher-regressed proposals: the is_teacher postprocessor still
+        runs box_coder.decode on the cls-agnostic last 4 delta channels
+        and clips to the image (box_head/inference.py:72-99)."""
         feats, _, _, _, proposals = self._rpn_forward(
             images, image_sizes, train=False
         )
         x = self._extract_box_features(feats, proposals.boxes)
         vec = jnp.mean(x, axis=(1, 2))
-        logits, _, emb = self.box_predictor(vec, class_embeddings)
+        logits, deltas, emb = self.box_predictor(vec, class_embeddings)
         b, p = proposals.boxes.shape[:2]
+        deltas = deltas.astype(jnp.float32).reshape(b, p, -1)[..., -4:]
+        reg_boxes = decode_boxes(
+            deltas, proposals.boxes, self.statics.reg_weights
+        )
+        reg_boxes = clip_to_image(reg_boxes, image_sizes)
         return TeacherPseudoOutput(
             proposals=proposals,
             embeddings=emb.astype(jnp.float32).reshape(b, p, -1),
             class_logits=logits.astype(jnp.float32).reshape(b, p, -1),
+            boxes=reg_boxes,
         )
 
     def predict_masks_for_boxes(self, images, image_sizes, boxes):

@@ -40,6 +40,8 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
+from ...core.box_coder import decode_boxes
+from ...core.boxes import clip_to_image
 from ...ops.masks import crop_resize_from_box_frame_batch
 from ..backbone import ResNetBackbone
 from ..language.bert import WordEmbeddingBackbone
@@ -231,7 +233,13 @@ class STGeneralizedRCNN(nn.Module):
 
     # ------------------------------------------------------------------
     def generate_pseudo_labels(
-        self, feats, proposals, cap_tok_ids, cap_tok_mask, cap_word_valid
+        self,
+        feats,
+        proposals,
+        image_sizes,
+        cap_tok_ids,
+        cap_tok_mask,
+        cap_word_valid,
     ):
         """Teacher pseudo-label generation, fully on device.
 
@@ -242,10 +250,17 @@ class STGeneralizedRCNN(nn.Module):
         b, p = proposals.boxes.shape[:2]
 
         x = self.teacher.extract(feats, proposals.boxes)
-        _, _, emb = self.teacher.box_outputs(
+        _, deltas, emb = self.teacher.box_outputs(
             x, jnp.zeros((1, sb.emb_dim), jnp.float32)
         )
         emb = emb.astype(jnp.float32).reshape(b, p, -1)  # region embs
+        # The reference teacher postprocessor always regresses proposals
+        # (box_coder.decode on the cls-agnostic last 4 channels, then
+        # clip_to_image; box_head/inference.py:72-99, is_teacher path) —
+        # pseudo boxes are teacher-refined, not raw RPN proposals.
+        deltas = deltas.astype(jnp.float32).reshape(b, p, -1)[..., -4:]
+        reg_boxes = decode_boxes(deltas, proposals.boxes, sb.reg_weights)
+        reg_boxes = clip_to_image(reg_boxes, image_sizes)
 
         noun_embs = self.extract_word_embeddings(
             cap_tok_ids, cap_tok_mask
@@ -261,7 +276,7 @@ class STGeneralizedRCNN(nn.Module):
         take = lambda a: jnp.take_along_axis(
             a, aligned_idx[..., None] if a.ndim == 3 else aligned_idx, axis=1
         )
-        pseudo_boxes = take(proposals.boxes)  # [B, W, 4]
+        pseudo_boxes = take(reg_boxes)  # [B, W, 4] teacher-regressed
         pseudo_embs = take(emb)  # [B, W, d]
         scores = jax.nn.sigmoid(aligned_scores)
         valid = cap_word_valid & jnp.isfinite(aligned_scores)
@@ -372,12 +387,19 @@ class STGeneralizedRCNN(nn.Module):
         self,
         images: jnp.ndarray,
         image_sizes: jnp.ndarray,
-        batch: Dict[str, jnp.ndarray],
+        batch: Optional[Dict[str, jnp.ndarray]] = None,
         class_embeddings: Optional[jnp.ndarray] = None,
         lvis_class_embeddings: Optional[jnp.ndarray] = None,
         train: bool = False,
         exemplars: Optional[Dict[str, jnp.ndarray]] = None,
     ):
+        # ``batch`` is only consumed by the training branches; eval
+        # callers (engine/inference.py, tools/test_net.py) pass
+        # class_embeddings by keyword so the same compute_on_dataset
+        # drives every meta-architecture (reference engine/inference.py
+        # swaps vocab via set_class_embeddings instead, :123-129).
+        if train and batch is None:
+            raise ValueError("STGeneralizedRCNN training needs `batch`")
         s = self.statics
         sb = s.base
         feats = self.backbone(images)
@@ -401,6 +423,7 @@ class STGeneralizedRCNN(nn.Module):
         pseudo = self.generate_pseudo_labels(
             feats,
             eval_proposals,
+            image_sizes,
             batch["cap_tok_ids"],
             batch["cap_tok_mask"],
             batch["cap_word_valid"],

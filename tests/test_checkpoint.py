@@ -128,3 +128,149 @@ def test_orbax_roundtrip(tmp_path):
     )
     np.testing.assert_allclose(restored["state"]["w"], state["state"]["w"])
     assert int(restored["iteration"]) == 7
+
+
+def st_like_params():
+    """Param tree shaped like STGeneralizedRCNN: shared backbone/rpn +
+    teacher/student RoIHeadsBundle subtrees (student has an extra
+    uncertainty head)."""
+
+    def bundle(seed):
+        rng = np.random.RandomState(seed)
+        return {
+            "roi_extractor": {
+                "layer4": {
+                    "block0": {
+                        "conv1": {
+                            "kernel": rng.randn(1, 1, 4, 4).astype(
+                                np.float32
+                            )
+                        }
+                    }
+                }
+            },
+            "box_predictor": {
+                "emb_pred": {
+                    "kernel": rng.randn(8, 6).astype(np.float32),
+                    "bias": rng.randn(6).astype(np.float32),
+                },
+                "bbox_pred": {
+                    "kernel": rng.randn(8, 8).astype(np.float32),
+                    "bias": rng.randn(8).astype(np.float32),
+                },
+            },
+            "mask_predictor": {
+                "mask_fcn_logits": {
+                    "kernel": rng.randn(1, 1, 4, 2).astype(np.float32)
+                }
+            },
+        }
+
+    params = {
+        "backbone": {
+            "stem": {"conv1": {"kernel": np.zeros((7, 7, 3, 4), np.float32)}}
+        },
+        "teacher": bundle(1),
+        "student": bundle(2),
+    }
+    params["student"]["mask_predictor"]["uncertain_pred"] = {
+        "kernel": np.full((1, 1, 4, 1), 7.0, np.float32)
+    }
+    return params
+
+
+def test_teacher_only_pth_routes_to_teacher_subtree():
+    """A single-model (GeneralizedRCNN) .pth loaded into the ST tree must
+    fill the TEACHER bundle deterministically — roi_heads.* maps onto
+    teacher/* (the round-1 defect left it to dict-order ties)."""
+    params = st_like_params()
+    rng = np.random.RandomState(3)
+    sd = {
+        "roi_heads.box.predictor.emb_pred.weight": rng.randn(6, 8).astype(
+            np.float32
+        ),
+        "roi_heads.box.predictor.emb_pred.bias": rng.randn(6).astype(
+            np.float32
+        ),
+        "roi_heads.box.feature_extractor.head.layer4.0.conv1.weight": (
+            rng.randn(4, 4, 1, 1).astype(np.float32)
+        ),
+        "roi_heads.mask.predictor.mask_fcn_logits.weight": rng.randn(
+            2, 4, 1, 1
+        ).astype(np.float32),
+    }
+    new_params, report = import_torch_state_dict(params, sd)
+    assert report["matched"] == len(sd)
+    np.testing.assert_allclose(
+        new_params["teacher"]["box_predictor"]["emb_pred"]["kernel"],
+        sd["roi_heads.box.predictor.emb_pred.weight"].T,
+    )
+    np.testing.assert_allclose(
+        new_params["teacher"]["roi_extractor"]["layer4"]["block0"][
+            "conv1"
+        ]["kernel"],
+        sd[
+            "roi_heads.box.feature_extractor.head.layer4.0.conv1.weight"
+        ].transpose(2, 3, 1, 0),
+    )
+    # student untouched by the import itself
+    np.testing.assert_allclose(
+        new_params["student"]["box_predictor"]["emb_pred"]["kernel"],
+        params["student"]["box_predictor"]["emb_pred"]["kernel"],
+    )
+
+
+def test_full_st_checkpoint_routes_both_bundles():
+    """roi_heads_student.* -> student/*, roi_heads.* -> teacher/*."""
+    params = st_like_params()
+    rng = np.random.RandomState(4)
+    t = rng.randn(6, 8).astype(np.float32)
+    s = rng.randn(6, 8).astype(np.float32)
+    sd = {
+        "roi_heads.box.predictor.emb_pred.weight": t,
+        "roi_heads_student.box.predictor.emb_pred.weight": s,
+    }
+    new_params, report = import_torch_state_dict(params, sd)
+    assert report["matched"] == 2
+    np.testing.assert_allclose(
+        new_params["teacher"]["box_predictor"]["emb_pred"]["kernel"], t.T
+    )
+    np.testing.assert_allclose(
+        new_params["student"]["box_predictor"]["emb_pred"]["kernel"], s.T
+    )
+
+
+def test_populate_student_from_teacher():
+    """prepare_model (st_generalized_rcnn.py:197-199): the student starts
+    as a copy of the teacher; student-only leaves (uncertain_pred) keep
+    their fresh init (strict=False)."""
+    from cvpr22_cross_modal_pseudo_labeling_tpu.engine.checkpoint import (
+        populate_student_from_teacher,
+    )
+
+    params = st_like_params()
+    new_params, copied = populate_student_from_teacher(params)
+    teacher_leaves = 0
+
+    def count(node):
+        nonlocal teacher_leaves
+        for v in node.values():
+            if isinstance(v, dict):
+                count(v)
+            else:
+                teacher_leaves += 1
+
+    count(params["teacher"])
+    assert copied == teacher_leaves
+    np.testing.assert_allclose(
+        new_params["student"]["box_predictor"]["emb_pred"]["kernel"],
+        new_params["teacher"]["box_predictor"]["emb_pred"]["kernel"],
+    )
+    np.testing.assert_allclose(
+        new_params["student"]["mask_predictor"]["uncertain_pred"]["kernel"],
+        7.0,
+    )
+    # backbone untouched
+    np.testing.assert_allclose(
+        new_params["backbone"]["stem"]["conv1"]["kernel"], 0.0
+    )

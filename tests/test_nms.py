@@ -98,3 +98,36 @@ def test_batched_nms_separates_classes():
         jnp.ones(2, bool), 0.5, 2,
     )
     assert int(jnp.sum(keep)) == 1
+
+
+def test_batched_nms_matches_per_class_greedy():
+    """Label-aware NMS (same-class mask fused into the suppression
+    reduce) must equal the reference's per-class python loop
+    (roi_heads/box_head/inference.py:119-144) exactly — including at
+    coordinates/class-counts where the old coordinate-offset trick lost
+    f32 precision."""
+    rng = np.random.RandomState(7)
+    n, n_cls = 400, 1203
+    x1 = rng.uniform(0, 1300, n).astype(np.float32)
+    y1 = rng.uniform(0, 800, n).astype(np.float32)
+    w = rng.uniform(0.5, 80, n).astype(np.float32)
+    h = rng.uniform(0.5, 80, n).astype(np.float32)
+    boxes = np.stack([x1, y1, x1 + w, y1 + h], axis=1)
+    scores = rng.rand(n).astype(np.float32)
+    labels = rng.randint(0, n_cls, n).astype(np.int32)
+    valid = rng.rand(n) > 0.1
+
+    idx, keep = batched_nms(
+        jnp.asarray(boxes), jnp.asarray(scores), jnp.asarray(labels),
+        jnp.asarray(valid), 0.5, n, tile=64,
+    )
+    got = sorted(int(i) for i, k in zip(np.asarray(idx), np.asarray(keep)) if k)
+
+    want = []
+    for c in np.unique(labels):
+        sel = np.where((labels == c) & valid)[0]
+        if len(sel) == 0:
+            continue
+        kept = np_greedy_nms(boxes[sel], scores[sel], 0.5)
+        want.extend(sel[kept].tolist())
+    assert got == sorted(want)

@@ -210,3 +210,85 @@ def test_st_eval(st_setup):
     )
     assert out.detections.boxes.shape == (2, 8, 4)
     assert out.mask_probs.shape[0] == 2
+
+
+def test_st_eval_via_keyword_class_embeddings(st_setup):
+    """compute_on_dataset / test_net call every meta-architecture as
+    apply(p, images, sizes, class_embeddings=..., train=False); for
+    STGeneralizedRCNN the third positional is `batch`, so the keyword
+    path must work without one (round-1 ADVICE: ST eval crashed)."""
+    model, params, images, image_sizes, batch, class_emb, lvis_emb = st_setup
+    out = model.apply(
+        params, images, image_sizes, class_embeddings=class_emb, train=False
+    )
+    assert out.detections.boxes.shape == (2, 8, 4)
+
+
+def test_st_train_requires_batch(st_setup):
+    model, params, images, image_sizes, batch, class_emb, lvis_emb = st_setup
+    with pytest.raises(ValueError):
+        model.apply(
+            params, images, image_sizes, class_embeddings=class_emb,
+            train=True,
+        )
+
+
+def test_pseudo_boxes_are_teacher_regressed(st_setup):
+    """Pseudo boxes must be the teacher-regressed proposals (decode the
+    cls-agnostic last-4 deltas with the ROI reg weights, clip to image;
+    reference box_head/inference.py:72-99 is_teacher path), selected at
+    the per-word argmax — not the raw RPN proposal boxes."""
+    from cvpr22_cross_modal_pseudo_labeling_tpu.core.box_coder import (
+        decode_boxes,
+    )
+    from cvpr22_cross_modal_pseudo_labeling_tpu.core.boxes import (
+        clip_to_image,
+    )
+
+    model, params, images, image_sizes, batch, class_emb, lvis_emb = st_setup
+    sb = model.statics.base
+
+    def run(m):
+        feats = m.backbone(images)
+        _, _, _, props = m._rpn_proposals(
+            images, image_sizes, feats, train_selector=False
+        )
+        pseudo = m.generate_pseudo_labels(
+            feats,
+            props,
+            image_sizes,
+            batch["cap_tok_ids"],
+            batch["cap_tok_mask"],
+            batch["cap_word_valid"],
+        )
+        x = m.teacher.extract(feats, props.boxes)
+        _, deltas, _ = m.teacher.box_outputs(
+            x, jnp.zeros((1, sb.emb_dim), jnp.float32)
+        )
+        return props, pseudo, deltas
+
+    props, pseudo, deltas = model.apply(params, method=run)
+    b, p = props.boxes.shape[:2]
+    deltas = np.asarray(deltas, np.float64).reshape(b, p, -1)[..., -4:]
+    reg = decode_boxes(
+        jnp.asarray(deltas, jnp.float32), props.boxes, sb.reg_weights
+    )
+    reg = np.asarray(clip_to_image(reg, image_sizes))
+
+    pb = np.asarray(pseudo["boxes"])
+    valid = np.asarray(pseudo["valid"])
+    raw = np.asarray(props.boxes)
+    n_checked = 0
+    for bi in range(b):
+        for wi in range(pb.shape[1]):
+            if not valid[bi, wi]:
+                continue
+            # the pseudo box is one of the regressed (not raw) proposals
+            d_reg = np.abs(reg[bi] - pb[bi, wi]).max(axis=1).min()
+            assert d_reg < 1e-4
+            n_checked += 1
+            # and within the image bounds
+            h, w = np.asarray(image_sizes)[bi]
+            assert pb[bi, wi, 0] >= 0 and pb[bi, wi, 1] >= 0
+            assert pb[bi, wi, 2] <= w - 1 and pb[bi, wi, 3] <= h - 1
+    assert n_checked >= 1

@@ -66,14 +66,18 @@ def main():
     class_emb = (
         jnp.asarray(class_emb) if class_emb is not None else None
     )
+    # class_embeddings by keyword — STGeneralizedRCNN's third positional
+    # is the (eval-unused) train batch (ADVICE r1).
     params = jax.jit(
-        lambda r, im, sz, ce: model.init(r, im, sz, ce, train=False)
+        lambda r, im, sz, ce: model.init(
+            r, im, sz, class_embeddings=ce, train=False
+        )
     )({"params": jax.random.PRNGKey(0)}, images, sizes, class_emb)
 
     ckpt = args.ckpt or latest_checkpoint(cfg.OUTPUT_DIR)
     if ckpt and os.path.isdir(ckpt):
-        restored = load_checkpoint(ckpt, {"state": None, "iteration": 0})
-        params = restored["state"].params
+        restored = load_checkpoint(ckpt)  # raw tree; only params needed
+        params = restored["state"]["params"]
         logger.info("loaded orbax checkpoint %s", ckpt)
     elif cfg.MODEL.WEIGHT and os.path.exists(cfg.MODEL.WEIGHT):
         sd = load_torch_checkpoint(cfg.MODEL.WEIGHT)

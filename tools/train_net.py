@@ -83,6 +83,7 @@ def train(cfg, logger):
         apply_reference_key_surgery,
         import_torch_state_dict,
         load_torch_checkpoint,
+        populate_student_from_teacher,
     )
     from cvpr22_cross_modal_pseudo_labeling_tpu.engine.optimizer import (
         frozen_prefixes_from_cfg,
@@ -214,6 +215,20 @@ def train(cfg, logger):
         logger.info(
             "imported %d torch tensors (%d source keys unmatched)",
             report["matched"], len(report["missed_source_keys"]),
+        )
+
+    if meta_arch == "STGeneralizedRCNN" and not cfg.MODEL.RESUME:
+        # prepare_model (reference st_generalized_rcnn.py:191-199): at
+        # iteration 0 the student starts from a copy of the teacher
+        # roi_heads, unless MODEL.RESUME continues a previous ST run.
+        new_params, n_copied = populate_student_from_teacher(
+            params["params"]
+        )
+        params = dict(params)
+        params["params"] = new_params
+        logger.info(
+            "prepare_model: copied %d teacher leaves into the student",
+            n_copied,
         )
 
     if hasattr(dataset, "class_names") and jax.process_index() == 0:
