@@ -1,0 +1,221 @@
+"""Import helpers for using the reference implementation as a parity
+oracle.
+
+The reference at /root/reference is PyTorch-1.4-era code whose CUDA
+extension (maskrcnn_benchmark._C), apex, yacs, pycocotools and old
+transformers API are unavailable here.  This module installs minimal
+stand-ins into sys.modules so the *pure-torch math* modules — BoxCoder,
+Matcher, boxlist ops, anchor generator, RPN/box-head postprocessors,
+ResNet with FrozenBatchNorm, the Masker, the loss computations — import
+and run on CPU torch.  Those modules then serve as golden oracles for
+our JAX implementations (VERDICT r1 item 1: module-level forward-parity
+evidence against the reference).
+
+Only _C.nms is given real behavior (a sequential greedy python loop —
+the exact csrc/cpu/nms_cpu.cpp algorithm, independently re-derived and
+cross-checked in tests/test_nms.py); everything else raises if touched.
+"""
+
+import importlib.machinery
+import sys
+import types
+
+import numpy as np
+
+REF_ROOT = "/root/reference"
+
+
+def _module(name: str) -> types.ModuleType:
+    """A stub module with a valid __spec__ (importlib.util.find_spec on
+    an already-imported module reads it; None breaks e.g. transformers'
+    dependency probing)."""
+    mod = types.ModuleType(name)
+    mod.__spec__ = importlib.machinery.ModuleSpec(name, loader=None)
+    return mod
+
+
+def _greedy_nms_torch(dets, scores, threshold):
+    """csrc/cpu/nms_cpu.cpp semantics: sort by score, keep greedily,
+    suppress IoU > threshold with the legacy +1 areas.  Returns kept
+    indices (int64 tensor) in score order."""
+    import torch
+
+    boxes = dets.detach().cpu().numpy().astype(np.float64)
+    s = scores.detach().cpu().numpy()
+    order = np.argsort(-s, kind="stable")
+    x1, y1, x2, y2 = boxes[:, 0], boxes[:, 1], boxes[:, 2], boxes[:, 3]
+    areas = (x2 - x1 + 1) * (y2 - y1 + 1)
+    suppressed = np.zeros(len(boxes), bool)
+    keep = []
+    for i in order:
+        if suppressed[i]:
+            continue
+        keep.append(int(i))
+        xx1 = np.maximum(x1[i], x1)
+        yy1 = np.maximum(y1[i], y1)
+        xx2 = np.minimum(x2[i], x2)
+        yy2 = np.minimum(y2[i], y2)
+        w = np.clip(xx2 - xx1 + 1, 0, None)
+        h = np.clip(yy2 - yy1 + 1, 0, None)
+        inter = w * h
+        iou = inter / (areas[i] + areas - inter)
+        suppressed |= iou > threshold
+        suppressed[i] = True
+    return torch.as_tensor(keep, dtype=torch.int64)
+
+
+class _StubAttr:
+    def __init__(self, name):
+        self._name = name
+
+    def __call__(self, *a, **k):
+        raise RuntimeError(f"stubbed reference native op called: {self._name}")
+
+
+class _CfgNode(dict):
+    """Tiny yacs.config.CfgNode stand-in: attribute-style nested dict
+    with the handful of methods reference import-time code touches."""
+
+    def __getattr__(self, k):
+        try:
+            return self[k]
+        except KeyError as e:
+            raise AttributeError(k) from e
+
+    def __setattr__(self, k, v):
+        self[k] = v
+
+    def clone(self):
+        import copy
+
+        return copy.deepcopy(self)
+
+    def merge_from_file(self, *a, **k):
+        raise NotImplementedError
+
+    def merge_from_list(self, *a, **k):
+        raise NotImplementedError
+
+    def freeze(self):
+        pass
+
+    def defrost(self):
+        pass
+
+    @staticmethod
+    def load_cfg(*a, **k):
+        raise NotImplementedError
+
+
+def install_reference(with_transformers_shim: bool = False):
+    """Puts /root/reference on sys.path with the stub modules installed.
+    Idempotent.  Returns the maskrcnn_benchmark package."""
+    if REF_ROOT not in sys.path:
+        sys.path.insert(0, REF_ROOT)
+
+    # numpy 1.x scalar aliases the 2020-era reference still uses
+    for alias, typ in (
+        ("float", float),
+        ("int", int),
+        ("bool", bool),
+        ("object", object),
+        ("long", int),
+    ):
+        if not hasattr(np, alias):
+            setattr(np, alias, typ)
+
+    # --- apex.amp: identity decorators --------------------------------
+    if "apex" not in sys.modules:
+        apex = _module("apex")
+        amp = _module("apex.amp")
+        amp.float_function = lambda fn: fn
+        amp.half_function = lambda fn: fn
+        amp.promote_function = lambda fn: fn
+
+        class _AmpState:  # pragma: no cover - never exercised
+            loss_scalers = []
+
+        amp.state = _AmpState()
+        apex.amp = amp
+        sys.modules["apex"] = apex
+        sys.modules["apex.amp"] = amp
+
+    # --- maskrcnn_benchmark._C -----------------------------------------
+    if "maskrcnn_benchmark._C" not in sys.modules:
+        c = _module("maskrcnn_benchmark._C")
+        c.nms = _greedy_nms_torch
+        for fn in (
+            "roi_align_forward",
+            "roi_align_backward",
+            "roi_pool_forward",
+            "roi_pool_backward",
+            "sigmoid_focalloss_forward",
+            "sigmoid_focalloss_backward",
+            "deform_conv_forward",
+            "deform_conv_backward_input",
+            "deform_conv_backward_parameters",
+            "modulated_deform_conv_forward",
+            "modulated_deform_conv_backward",
+            "deform_psroi_pooling_forward",
+            "deform_psroi_pooling_backward",
+        ):
+            setattr(c, fn, _StubAttr(fn))
+        sys.modules["maskrcnn_benchmark._C"] = c
+
+    # --- yacs ----------------------------------------------------------
+    if "yacs" not in sys.modules:
+        yacs = _module("yacs")
+        yacs_config = _module("yacs.config")
+        yacs_config.CfgNode = _CfgNode
+        yacs.config = yacs_config
+        sys.modules["yacs"] = yacs
+        sys.modules["yacs.config"] = yacs_config
+
+    # --- pycocotools (only needed at segmentation_mask import time) ----
+    if "pycocotools" not in sys.modules:
+        pyc = _module("pycocotools")
+        pyc_mask = _module("pycocotools.mask")
+        for fn in ("frPyObjects", "decode", "encode", "merge", "iou", "area"):
+            setattr(pyc_mask, fn, _StubAttr(f"pycocotools.mask.{fn}"))
+        pyc.mask = pyc_mask
+        sys.modules["pycocotools"] = pyc
+        sys.modules["pycocotools.mask"] = pyc_mask
+
+    # --- transformers.modeling_bert (pre-3.x HF layout) -----------------
+    if with_transformers_shim and "transformers.modeling_bert" not in sys.modules:
+        import torch
+        import transformers
+        from transformers.models.bert import modeling_bert as new_bert
+
+        shim = _module("transformers.modeling_bert")
+        for name in (
+            "BertEncoder",
+            "BertPooler",
+            "BertLMPredictionHead",
+            "BertPredictionHeadTransform",
+            "BertModel",
+        ):
+            if hasattr(new_bert, name):
+                setattr(shim, name, getattr(new_bert, name))
+        shim.BertLayerNorm = torch.nn.LayerNorm
+        sys.modules["transformers.modeling_bert"] = shim
+
+    # CPU-only torch: make .cuda() a no-op (the reference hardcodes
+    # .cuda() in a few loss paths, e.g. box_head/loss.py:173)
+    import torch
+
+    if not torch.cuda.is_available():
+        torch.Tensor.cuda = lambda self, *a, **k: self
+        torch.nn.Module.cuda = lambda self, *a, **k: self
+
+    import maskrcnn_benchmark  # noqa: F401
+
+    return sys.modules["maskrcnn_benchmark"]
+
+
+def ref_module(name: str, with_transformers_shim: bool = False):
+    """install_reference() + import a maskrcnn_benchmark submodule."""
+    install_reference(with_transformers_shim=with_transformers_shim)
+    import importlib
+
+    return importlib.import_module(f"maskrcnn_benchmark.{name}")
