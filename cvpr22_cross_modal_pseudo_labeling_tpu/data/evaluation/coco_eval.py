@@ -16,7 +16,7 @@ from typing import Dict, List, Optional, Sequence, Tuple
 
 import numpy as np
 
-from ...utils.rle import rle_iou_matrix
+from ...utils.rle import rle_area, rle_iou_matrix
 
 IOU_THRS = np.round(np.arange(0.5, 1.0, 0.05), 2)
 REC_THRS = np.linspace(0.0, 1.0, 101)
@@ -131,10 +131,17 @@ class CocoStyleEvaluator:
                 dt_match[ti, di] = 1
                 gt_match[ti, m] = 1
                 dt_ignore[ti, di] = gt_ignore[m]
-        # unmatched dts outside the area range are ignored
-        dt_areas = np.array(
-            [d["bbox"][2] * d["bbox"][3] for d in dts]
-        )
+        # unmatched dts outside the area range are ignored; the
+        # detection's area is the MASK area for segm eval (pycocotools
+        # loadRes computes dt area from the RLE), bbox w*h for bbox eval
+        if self.iou_type == "segm":
+            dt_areas = np.array(
+                [float(rle_area(d["segmentation"])) for d in dts]
+            )
+        else:
+            dt_areas = np.array(
+                [d["bbox"][2] * d["bbox"][3] for d in dts]
+            )
         out_of_range = (dt_areas < at0) | (dt_areas > at1)
         dt_ignore |= (~dt_match.astype(bool)) & out_of_range[None, :]
         scores = np.array([d["score"] for d in dts])
