@@ -326,14 +326,15 @@ def inference(
         results = compute_on_dataset(
             model, params, loader, dataset, class_emb, mesh=mesh
         )
-    try:
-        from ..parallel.mesh import process_allgather
+    if jax.process_count() > 1:
+        # pickle-to-padded-uint8 gather of the per-host COCO dicts
+        # (the reference's utils/comm.py:48-88 all_gather); a failure
+        # here must surface — silently reporting rank-0-only metrics
+        # corrupts the evaluation
+        from ..parallel.mesh import gather_objects
 
-        if jax.process_count() > 1:
-            gathered = process_allgather(results)
-            results = [r for part in gathered for r in part]
-    except Exception:
-        pass
+        gathered = gather_objects(results)
+        results = [r for part in gathered for r in part]
     if output_file and jax.process_index() == 0:
         import json
 

@@ -60,3 +60,40 @@ def process_allgather(tree):
     from jax.experimental import multihost_utils
 
     return multihost_utils.process_allgather(tree)
+
+
+def gather_objects(obj, allgather=None, n_processes: Optional[int] = None):
+    """Gathers an arbitrary picklable python object from every process
+    and returns the list [obj_from_process_0, ..., obj_from_process_n-1]
+    on all processes.
+
+    The reference pickles to a ByteTensor, pads to the max size, and
+    NCCL-all_gathers (utils/comm.py:48-88).  Same design over JAX's
+    host-level allgather: COCO prediction dicts (RLE strings included)
+    are not an array pytree, so they serialize to a padded uint8 buffer.
+
+    ``allgather``/``n_processes`` are injectable for testing; defaults
+    use jax.experimental.multihost_utils over all processes."""
+    import pickle
+
+    if n_processes is None:
+        n_processes = jax.process_count()
+    if n_processes == 1:
+        return [obj]
+    if allgather is None:
+        from jax.experimental import multihost_utils
+
+        allgather = multihost_utils.process_allgather
+
+    data = np.frombuffer(pickle.dumps(obj), np.uint8)
+    lengths = np.asarray(
+        allgather(np.asarray([data.size], np.int64))
+    ).reshape(n_processes)
+    max_len = int(lengths.max())
+    padded = np.zeros((max_len,), np.uint8)
+    padded[: data.size] = data
+    gathered = np.asarray(allgather(padded)).reshape(n_processes, max_len)
+    return [
+        pickle.loads(gathered[i, : int(lengths[i])].tobytes())
+        for i in range(n_processes)
+    ]

@@ -275,33 +275,66 @@ def train(cfg, logger):
         {**example_batch, **extra_batch},
     )
 
-    # periodic validation loss (trainer.py:204-248; SOLVER.SKIP_VAL_LOSS)
+    # periodic in-training evaluation at SOLVER.TEST_PERIOD (reference
+    # engine/trainer.py:174-250): full inference() per TEST dataset,
+    # plus the validation-loss pass unless SOLVER.SKIP_VAL_LOSS
     eval_fn = None
-    if not cfg.SOLVER.SKIP_VAL_LOSS and cfg.DATASETS.TEST:
-        from cvpr22_cross_modal_pseudo_labeling_tpu.engine.train_step import (
-            build_val_loss_step,
+    if cfg.DATASETS.TEST and cfg.SOLVER.TEST_PERIOD > 0:
+        from cvpr22_cross_modal_pseudo_labeling_tpu.engine.inference import (
+            inference,
         )
 
-        val_loaders, _ = make_data_loader(cfg, is_train=False)
-        val_step = jax.jit(build_val_loss_step(model, meta_arch))
+        val_loaders, val_datasets = make_data_loader(cfg, is_train=False)
+        val_step = None
+        if not cfg.SOLVER.SKIP_VAL_LOSS:
+            from cvpr22_cross_modal_pseudo_labeling_tpu.engine.train_step import (
+                build_val_loss_step,
+            )
+
+            val_step = jax.jit(build_val_loss_step(model, meta_arch))
+        iou_types = ("bbox",) + (("segm",) if cfg.MODEL.MASK_ON else ())
 
         def eval_fn(state, iteration):
-            import itertools
-
-            losses = []
-            for batch, _ in itertools.islice(iter(val_loaders[0]), 8):
-                vb = {
-                    k: jnp.asarray(v)
-                    for k, v in {**batch, **extra_batch}.items()
-                    if isinstance(v, np.ndarray)
-                }
-                out = val_step(state.params, vb)
-                losses.append(float(out["val_total_loss"]))
-            if losses:
-                logger.info(
-                    "iter %d val_loss %.4f", iteration,
-                    float(np.mean(losses)),
+            for name, loader_t, ds in zip(
+                cfg.DATASETS.TEST, val_loaders, val_datasets
+            ):
+                metrics = inference(
+                    model,
+                    state.params,
+                    loader_t,
+                    ds,
+                    iou_types=iou_types,
+                    expected_results=cfg.TEST.EXPECTED_RESULTS,
+                    expected_results_sigma_tol=(
+                        cfg.TEST.EXPECTED_RESULTS_SIGMA_TOL
+                    ),
+                    mesh=mesh,
                 )
+                logger.info(
+                    "iter %d eval[%s]: %s", iteration, name,
+                    {
+                        k: round(v, 4)
+                        for k, v in metrics.items()
+                        if isinstance(v, float) and "AP50_class" not in k
+                    },
+                )
+            if val_step is not None:
+                import itertools
+
+                losses = []
+                for batch, _ in itertools.islice(iter(val_loaders[0]), 8):
+                    vb = {
+                        k: jnp.asarray(v)
+                        for k, v in {**batch, **extra_batch}.items()
+                        if isinstance(v, np.ndarray)
+                    }
+                    out = val_step(state.params, vb)
+                    losses.append(float(out["val_total_loss"]))
+                if losses:
+                    logger.info(
+                        "iter %d val_loss %.4f", iteration,
+                        float(np.mean(losses)),
+                    )
 
     state = do_train(
         step_fn,
@@ -324,8 +357,17 @@ def run_test(cfg, model, state, logger):
     from cvpr22_cross_modal_pseudo_labeling_tpu.engine.inference import (
         inference,
     )
+    from cvpr22_cross_modal_pseudo_labeling_tpu.parallel.mesh import (
+        make_mesh,
+    )
 
     iou_types = ("bbox",) + (("segm",) if cfg.MODEL.MASK_ON else ())
+    # post-training eval shards over the same mesh training just used
+    mesh = (
+        make_mesh(cfg.TPU.MESH_AXES, cfg.TPU.MESH_SHAPE)
+        if len(jax.devices()) > 1
+        else None
+    )
     loaders, datasets = make_data_loader(cfg, is_train=False)
     for name, loader, dataset in zip(
         cfg.DATASETS.TEST, loaders, datasets
@@ -341,6 +383,7 @@ def run_test(cfg, model, state, logger):
             output_file=os.path.join(
                 cfg.OUTPUT_DIR, f"predictions_{name}.json"
             ),
+            mesh=mesh,
         )
         logger.info("eval[%s]: %s", name, {
             k: round(v, 4) for k, v in metrics.items()
