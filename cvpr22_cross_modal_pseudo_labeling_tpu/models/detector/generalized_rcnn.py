@@ -60,6 +60,8 @@ class RCNNTrainOutput(NamedTuple):
 class RCNNEvalOutput(NamedTuple):
     detections: Detections
     mask_probs: Optional[jnp.ndarray]  # [B, D, M2, M2]
+    # KEYPOINT_ON: per-detection keypoints [B, D, K, 3] (x, y, score)
+    keypoints: Optional[jnp.ndarray] = None
 
 
 class TeacherPseudoOutput(NamedTuple):
@@ -134,6 +136,20 @@ class GeneralizedRCNN(nn.Module):
                 uncertainty=s.uncertainty,
                 dtype=dtype,
             )
+        if s.keypoint_on:
+            # MODEL.KEYPOINT_ON dispatch (reference roi_heads.py:57-62);
+            # shares the box RoI features (SHARE_BOX_FEATURE_EXTRACTOR)
+            from ..roi_heads.keypoint_head import KeypointPredictor
+
+            self.keypoint_predictor = KeypointPredictor(
+                num_keypoints=s.num_keypoints, dtype=dtype
+            )
+        if s.wsddn:
+            # MODEL.ROI_BOX_HEAD.WSDDN replaces the standard box head
+            # (reference box_head.py:88-89)
+            from ..roi_heads.wsddn_head import WSDDNHead
+
+            self.wsddn_head = WSDDNHead(num_classes=s.num_classes)
 
     # -- shared pieces ---------------------------------------------------
 
@@ -277,6 +293,23 @@ class GeneralizedRCNN(nn.Module):
         if s.rpn_only:
             return RCNNTrainOutput(losses, info)
 
+        if s.wsddn:
+            # weakly-supervised path: no RoI subsampling — the WSDDN
+            # head scores raw proposals and trains on image-level
+            # multi-labels (wsddn_head/__init__.py:29-64)
+            x = self._extract_box_features(feats, proposals.boxes)
+            vec = jnp.mean(x, axis=(1, 2))
+            b, p = proposals.boxes.shape[:2]
+            _, image_scores = self.wsddn_head(
+                vec.astype(jnp.float32).reshape(b, p, -1), proposals.valid
+            )
+            from ..roi_heads.wsddn_head import wsddn_loss
+
+            losses["loss_classifier"] = wsddn_loss(
+                image_scores, targets["image_labels"].astype(jnp.float32)
+            )
+            return RCNNTrainOutput(losses, info)
+
         # add_gt_proposals (rpn/inference.py:53-74)
         all_boxes = jnp.concatenate([proposals.boxes, gt_boxes], axis=1)
         all_valid = jnp.concatenate([proposals.valid, gt_valid], axis=1)
@@ -335,6 +368,30 @@ class GeneralizedRCNN(nn.Module):
                     * pos.astype(jnp.float32)
                 ) / jnp.maximum(jnp.sum(pos), 1.0)
                 info["avg_uncertain"] = avg_unc
+
+        if s.keypoint_on and "gt_keypoints" in targets:
+            # keypoint branch on the positives-first slice, sharing the
+            # box RoI features (roi_heads.py:57-62 + keypoint_head)
+            from ..roi_heads.keypoint_head import keypoint_loss
+
+            cap = min(s.mask_pos_cap, s.roi_batch_per_image)
+            b = images.shape[0]
+            x_kp = x.reshape(b, -1, *x.shape[1:])[:, :cap].reshape(
+                -1, *x.shape[1:]
+            )
+            sampled_kp = sampled.head(cap)
+            kp_logits = self.keypoint_predictor(x_kp)
+            # matched gt keypoints per sampled roi
+            gt_kp = targets["gt_keypoints"]  # [B, G, K, 3]
+            kp = jax.vmap(lambda g, m: g[m])(
+                gt_kp, sampled_kp.matched_gt
+            ).reshape(-1, gt_kp.shape[2], 3)
+            losses["loss_kp"] = keypoint_loss(
+                kp_logits.astype(jnp.float32),
+                kp,
+                sampled_kp.boxes.reshape(-1, 4),
+                (sampled_kp.is_pos & sampled_kp.valid).reshape(-1),
+            )
         return RCNNTrainOutput(losses, info)
 
     def forward_eval(
@@ -377,8 +434,24 @@ class GeneralizedRCNN(nn.Module):
             )
         x = self._extract_box_features(feats, proposals.boxes)
         vec = jnp.mean(x, axis=(1, 2))
-        logits, deltas, _ = self.box_predictor(vec, class_embeddings)
         b, p = proposals.boxes.shape[:2]
+        if s.wsddn:
+            from ..roi_heads.wsddn_head import wsddn_inference
+
+            proposal_scores, _ = self.wsddn_head(
+                vec.astype(jnp.float32).reshape(b, p, -1), proposals.valid
+            )
+            dets = wsddn_inference(
+                proposal_scores,
+                proposals.boxes,
+                proposals.valid,
+                score_thresh=s.score_thresh,
+                nms_thresh=s.nms_thresh,
+                detections_per_img=s.detections_per_img,
+                nms_tile=s.nms_tile,
+            )
+            return RCNNEvalOutput(dets, None)
+        logits, deltas, _ = self.box_predictor(vec, class_embeddings)
         dets = postprocess_boxes(
             logits.astype(jnp.float32).reshape(b, p, -1),
             deltas.astype(jnp.float32).reshape(b, p, -1),
@@ -408,7 +481,20 @@ class GeneralizedRCNN(nn.Module):
             )
             m2 = probs.shape[-1]
             mask_probs = probs.reshape(b, -1, m2, m2)
-        return RCNNEvalOutput(dets, mask_probs)
+        keypoints = None
+        if s.keypoint_on:
+            from ..roi_heads.keypoint_head import keypoint_inference
+
+            x_kp = self._extract_box_features(feats, dets.boxes)
+            kp_logits = self.keypoint_predictor(x_kp)
+            xy, kp_scores = keypoint_inference(
+                kp_logits.astype(jnp.float32), dets.boxes.reshape(-1, 4)
+            )
+            k = xy.shape[1]
+            keypoints = jnp.concatenate(
+                [xy, kp_scores[..., None]], axis=-1
+            ).reshape(b, -1, k, 3)
+        return RCNNEvalOutput(dets, mask_probs, keypoints)
 
     # -- teacher path for pseudo-labeling --------------------------------
 

@@ -64,6 +64,12 @@ class RCNNStatics(NamedTuple):
     cls_agnostic_mask: bool = True
     uncertainty: bool = False
     mask_dim_reduced: int = 256
+    # keypoint head (MODEL.KEYPOINT_ON, reference roi_heads.py:57-62)
+    keypoint_on: bool = False
+    num_keypoints: int = 17
+    # WSDDN weakly-supervised box head (MODEL.ROI_BOX_HEAD.WSDDN,
+    # reference box_head.py:88-89)
+    wsddn: bool = False
     # caps
     max_gt: int = 100
     nms_tile: int = 512
@@ -118,6 +124,9 @@ def statics_from_cfg(cfg) -> RCNNStatics:
         nms_thresh=1.0 if m.GT_BOX_EVAL else m.ROI_HEADS.NMS,
         gt_box_eval=m.GT_BOX_EVAL,
         detections_per_img=m.ROI_HEADS.DETECTIONS_PER_IMG,
+        keypoint_on=m.KEYPOINT_ON,
+        num_keypoints=m.ROI_KEYPOINT_HEAD.NUM_CLASSES,
+        wsddn=m.ROI_BOX_HEAD.WSDDN,
         embedding_based=m.ROI_BOX_HEAD.EMBEDDING_BASED,
         emb_dim=m.ROI_BOX_HEAD.EMB_DIM,
         num_classes=m.ROI_BOX_HEAD.NUM_CLASSES,

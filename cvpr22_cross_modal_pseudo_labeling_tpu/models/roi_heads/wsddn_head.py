@@ -55,6 +55,48 @@ class WSDDNHead(nn.Module):
         return proposal_scores, image_scores
 
 
+def wsddn_inference(
+    proposal_scores: jnp.ndarray,  # [B, S, C]
+    boxes: jnp.ndarray,  # [B, S, 4]
+    valid: jnp.ndarray,  # [B, S]
+    score_thresh: float = 0.0001,
+    nms_thresh: float = 0.5,
+    detections_per_img: int = 100,
+    nms_tile: int = 256,
+):
+    """WSDDN eval (reference wsddn_head/inference.py:42-130): the
+    proposal boxes themselves (no regression), per-class score
+    threshold + NMS, top detections over all classes.  Class 0 is the
+    background slot and is skipped, like the box-head postprocessor."""
+    from ...ops.nms import batched_nms
+    from .box_head import Detections
+
+    num_classes = proposal_scores.shape[-1]
+
+    def per_image(scores, props, pvalid):
+        cand = scores[:, 1:]  # skip background
+        cand_valid = (cand > score_thresh) & pvalid[:, None]
+        flat = jnp.where(cand_valid, cand, -1.0).reshape(-1)
+        k = min(10 * detections_per_img, flat.shape[0])
+        top_scores, top_idx = jax.lax.top_k(flat, k)
+        roi_idx = top_idx // (num_classes - 1)
+        cls_idx = top_idx % (num_classes - 1) + 1
+        top_boxes = props[roi_idx]
+        top_valid = top_scores > score_thresh
+        keep_idx, keep_valid = batched_nms(
+            top_boxes, top_scores, cls_idx, top_valid, nms_thresh,
+            detections_per_img, nms_tile,
+        )
+        return Detections(
+            boxes=top_boxes[keep_idx],
+            scores=top_scores[keep_idx],
+            labels=cls_idx[keep_idx].astype(jnp.int32),
+            valid=keep_valid,
+        )
+
+    return jax.vmap(per_image)(proposal_scores, boxes, valid)
+
+
 def wsddn_loss(
     image_scores: jnp.ndarray, image_labels: jnp.ndarray
 ) -> jnp.ndarray:

@@ -59,3 +59,124 @@ def test_wsddn_head():
     )
     loss = wsddn_loss(img_scores, labels)
     assert np.isfinite(float(loss))
+
+
+# ---------------------------------------------------------------------------
+# End-to-end dispatch: both heads reachable from a config
+# (VERDICT r1 item 8; reference roi_heads.py:57-62, box_head.py:88-89)
+# ---------------------------------------------------------------------------
+
+def _tiny_rcnn_cfg():
+    from cvpr22_cross_modal_pseudo_labeling_tpu.config import get_default_cfg
+
+    cfg = get_default_cfg()
+    cfg.MODEL.MASK_ON = False
+    cfg.MODEL.CLS_AGNOSTIC_BBOX_REG = True
+    cfg.MODEL.ROI_BOX_HEAD.EMBEDDING_BASED = True
+    cfg.MODEL.ROI_BOX_HEAD.EMB_DIM = 16
+    cfg.MODEL.ROI_HEADS.BATCH_SIZE_PER_IMAGE = 8
+    cfg.MODEL.ROI_HEADS.POSITIVE_FRACTION = 1.0
+    cfg.MODEL.ROI_HEADS.DETECTIONS_PER_IMG = 4
+    cfg.MODEL.ROI_HEADS.SCORE_THRESH = 0.0
+    cfg.MODEL.RPN.PRE_NMS_TOP_N_TRAIN = 32
+    cfg.MODEL.RPN.POST_NMS_TOP_N_TRAIN = 8
+    cfg.MODEL.RPN.PRE_NMS_TOP_N_TEST = 32
+    cfg.MODEL.RPN.POST_NMS_TOP_N_TEST = 8
+    cfg.TPU.MAX_GT = 2
+    cfg.TPU.NMS_TILE = 64
+    cfg.TPU.MASK_POS_CAP = 8
+    return cfg
+
+
+def test_keypoint_on_dispatch_end_to_end():
+    import jax
+
+    from cvpr22_cross_modal_pseudo_labeling_tpu.models.detector import (
+        GeneralizedRCNN,
+        statics_from_cfg,
+    )
+
+    cfg = _tiny_rcnn_cfg()
+    cfg.MODEL.KEYPOINT_ON = True
+    cfg.MODEL.ROI_KEYPOINT_HEAD.NUM_CLASSES = 5
+    statics = statics_from_cfg(cfg)
+    assert statics.keypoint_on and statics.num_keypoints == 5
+    model = GeneralizedRCNN(statics)
+
+    b = 1
+    images = jnp.zeros((b, 64, 64, 3))
+    sizes = jnp.array([[64, 64]], jnp.int32)
+    emb = jnp.asarray(np.random.RandomState(0).randn(6, 16), np.float32)
+    targets = {
+        "gt_boxes": jnp.array([[[8.0, 8.0, 40.0, 40.0], [0.0] * 4]]),
+        "gt_labels": jnp.array([[1, 0]], jnp.int32),
+        "gt_valid": jnp.array([[True, False]]),
+        "gt_keypoints": jnp.asarray(
+            np.concatenate(
+                [
+                    np.random.RandomState(1).uniform(10, 38, (b, 2, 5, 2)),
+                    np.ones((b, 2, 5, 1)),
+                ],
+                axis=-1,
+            ),
+            jnp.float32,
+        ),
+    }
+    rngs = {"params": jax.random.PRNGKey(0), "sampler": jax.random.PRNGKey(1)}
+    params = model.init(rngs, images, sizes, emb, targets, train=True)
+    out = model.apply(
+        params, images, sizes, emb, targets, train=True,
+        rngs={"sampler": jax.random.PRNGKey(2)},
+    )
+    assert "loss_kp" in out.losses
+    assert np.isfinite(float(out.losses["loss_kp"]))
+
+    ev = model.apply(params, images, sizes, emb, train=False)
+    assert ev.keypoints is not None
+    assert ev.keypoints.shape == (1, 4, 5, 3)
+    # keypoint x/y land inside the image
+    kxy = np.asarray(ev.keypoints[..., :2])
+    assert np.all(kxy >= 0) and np.all(kxy <= 64)
+
+
+def test_wsddn_dispatch_end_to_end():
+    import jax
+
+    from cvpr22_cross_modal_pseudo_labeling_tpu.models.detector import (
+        GeneralizedRCNN,
+        statics_from_cfg,
+    )
+
+    cfg = _tiny_rcnn_cfg()
+    cfg.MODEL.ROI_BOX_HEAD.WSDDN = True
+    cfg.MODEL.ROI_BOX_HEAD.NUM_CLASSES = 6
+    cfg.MODEL.RPN.DONT_TRAIN = True
+    statics = statics_from_cfg(cfg)
+    assert statics.wsddn
+    model = GeneralizedRCNN(statics)
+
+    images = jnp.zeros((1, 64, 64, 3))
+    sizes = jnp.array([[64, 64]], jnp.int32)
+    labels = np.zeros((1, 6), np.float32)
+    labels[0, [2, 4]] = 1.0
+    targets = {
+        "gt_boxes": jnp.zeros((1, 2, 4)),
+        "gt_labels": jnp.zeros((1, 2), jnp.int32),
+        "gt_valid": jnp.zeros((1, 2), bool),
+        "image_labels": jnp.asarray(labels),
+    }
+    rngs = {"params": jax.random.PRNGKey(0), "sampler": jax.random.PRNGKey(1)}
+    params = model.init(rngs, images, sizes, None, targets, train=True)
+    out = model.apply(
+        params, images, sizes, None, targets, train=True,
+        rngs={"sampler": jax.random.PRNGKey(2)},
+    )
+    assert set(out.losses) == {"loss_classifier"}
+    assert np.isfinite(float(out.losses["loss_classifier"]))
+
+    ev = model.apply(params, images, sizes, None, train=False)
+    assert ev.detections.boxes.shape == (1, 4, 4)
+    assert ev.mask_probs is None
+    labels_out = np.asarray(ev.detections.labels)
+    valid = np.asarray(ev.detections.valid)
+    assert np.all(labels_out[valid] >= 1)
