@@ -1,0 +1,198 @@
+"""Multi-device == single-device equivalence (VERDICT r1 item 5).
+
+(a) data-parallel training over an 8-device mesh produces the same
+    loss/grad-norm trajectory as 1-device training on the same global
+    batch;
+(b) mesh-sharded eval returns identical detections to unsharded eval,
+    including the ragged final batch fallback.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from cvpr22_cross_modal_pseudo_labeling_tpu.config import get_default_cfg
+from cvpr22_cross_modal_pseudo_labeling_tpu.engine.optimizer import (
+    frozen_prefixes_from_cfg,
+    make_optimizer,
+)
+from cvpr22_cross_modal_pseudo_labeling_tpu.engine.train_step import (
+    build_train_step,
+    create_train_state,
+    jit_train_step,
+)
+from cvpr22_cross_modal_pseudo_labeling_tpu.models.detector import (
+    GeneralizedRCNN,
+    statics_from_cfg,
+)
+from cvpr22_cross_modal_pseudo_labeling_tpu.parallel.mesh import make_mesh
+
+from test_train_step import make_batch, tiny_cfg
+
+
+def test_8dev_vs_1dev_training_trajectory():
+    cfg = tiny_cfg()
+    model = GeneralizedRCNN(statics_from_cfg(cfg))
+    batch = make_batch(b=8)
+    params = model.init(
+        {"params": jax.random.PRNGKey(0), "sampler": jax.random.PRNGKey(1)},
+        batch["images"][:1],
+        batch["image_sizes"][:1],
+        batch["class_embeddings"],
+        {
+            k: batch[k][:1]
+            for k in ("gt_boxes", "gt_labels", "gt_valid", "gt_masks")
+        },
+        train=True,
+    )
+    tx, _ = make_optimizer(
+        cfg, params["params"], frozen_prefixes_from_cfg(cfg)
+    )
+
+    def run(n_devices, steps=3):
+        mesh = make_mesh(
+            ("data",), (n_devices,), devices=jax.devices()[:n_devices]
+        )
+        state = create_train_state(
+            jax.device_get(params), tx, jax.random.PRNGKey(42)
+        )
+        step = jit_train_step(
+            build_train_step(model, tx, "GeneralizedRCNN"), mesh, batch
+        )
+        traj = []
+        for _ in range(steps):
+            state, metrics = step(state, batch)
+            traj.append(
+                (float(metrics["total_loss"]), float(metrics["grad_norm"]))
+            )
+        return traj
+
+    t8 = run(8)
+    t1 = run(1)
+    for (l8, g8), (l1, g1) in zip(t8, t1):
+        # identical math; only cross-device reduction order differs
+        np.testing.assert_allclose(l8, l1, rtol=2e-5, err_msg=str((t8, t1)))
+        np.testing.assert_allclose(g8, g1, rtol=2e-4)
+
+
+def test_sharded_eval_identical_to_unsharded(tmp_path):
+    """compute_on_dataset with a mesh must return the same COCO result
+    dicts as without, including the ragged final batch (5 images in
+    batches of 2 over a 2-device mesh -> last batch of 1 falls back)."""
+    import json
+
+    from PIL import Image
+
+    from cvpr22_cross_modal_pseudo_labeling_tpu.data.collate import (
+        BatchCollator,
+    )
+    from cvpr22_cross_modal_pseudo_labeling_tpu.data.datasets.coco import (
+        COCODataset,
+    )
+    from cvpr22_cross_modal_pseudo_labeling_tpu.data.transforms import (
+        build_transforms,
+    )
+    from cvpr22_cross_modal_pseudo_labeling_tpu.engine.inference import (
+        compute_on_dataset,
+    )
+
+    rng = np.random.RandomState(0)
+    img_dir = tmp_path / "images"
+    img_dir.mkdir()
+    images, annotations = [], []
+    for i in range(5):
+        h, w = 60, 80
+        Image.fromarray(
+            (rng.rand(h, w, 3) * 255).astype(np.uint8)
+        ).save(img_dir / f"img{i}.jpg")
+        images.append(
+            {"id": i + 1, "file_name": f"img{i}.jpg", "height": h,
+             "width": w}
+        )
+        annotations.append(
+            {"id": 100 + i, "image_id": i + 1, "category_id": 1,
+             "bbox": [10, 10, 30, 25], "area": 750, "iscrowd": 0,
+             "segmentation": [[10, 10, 39, 10, 39, 34, 10, 34]]}
+        )
+    ann = {
+        "images": images,
+        "annotations": annotations,
+        "categories": [
+            {"id": 1, "name": "cat",
+             "embedding": {"BertEmb": [0.1] * 16}, "split": "seen"}
+        ],
+    }
+    (tmp_path / "ann.json").write_text(json.dumps(ann))
+
+    cfg = get_default_cfg()
+    cfg.INPUT.MIN_SIZE_TEST = 48
+    cfg.INPUT.MAX_SIZE_TEST = 64
+    cfg.MODEL.MASK_ON = True
+    cfg.MODEL.CLS_AGNOSTIC_BBOX_REG = True
+    cfg.MODEL.CLS_AGNOSTIC_MASK = True
+    cfg.MODEL.ROI_BOX_HEAD.EMBEDDING_BASED = True
+    cfg.MODEL.ROI_BOX_HEAD.EMB_DIM = 16
+    cfg.MODEL.RPN.PRE_NMS_TOP_N_TEST = 64
+    cfg.MODEL.RPN.POST_NMS_TOP_N_TEST = 16
+    cfg.MODEL.ROI_HEADS.DETECTIONS_PER_IMG = 8
+    cfg.MODEL.ROI_HEADS.SCORE_THRESH = 0.0
+    cfg.TPU.NMS_TILE = 64
+
+    tf = build_transforms(cfg, is_train=False)
+    ds = COCODataset(
+        str(tmp_path / "ann.json"), str(img_dir), False, transforms=tf,
+        extra_args={"LOAD_EMBEDDINGS": True, "EMB_KEY": "BertEmb",
+                    "EMB_DIM": 16},
+    )
+    collator = BatchCollator(
+        buckets=((64, 64),), max_gt=4, max_cap_tokens=8, max_cap_nouns=2
+    )
+
+    class ListLoader:
+        def __init__(self, dataset, batch_size):
+            self.items = [
+                (
+                    [dataset[i] for i in range(j, min(j + batch_size, len(dataset)))],
+                    list(range(j, min(j + batch_size, len(dataset)))),
+                )
+                for j in range(0, len(dataset), batch_size)
+            ]
+
+        def __iter__(self):
+            for samples, idxs in self.items:
+                yield collator(samples), idxs
+
+    model = GeneralizedRCNN(statics_from_cfg(cfg))
+    params = model.init(
+        {"params": jax.random.PRNGKey(0)},
+        jnp.zeros((1, 64, 64, 3)),
+        jnp.array([[48, 64]], jnp.int32),
+        jnp.asarray(ds.class_emb_mtx),
+        train=False,
+    )
+    loader = ListLoader(ds, 2)
+    mesh = make_mesh(("data",), (2,), devices=jax.devices()[:2])
+    res_sharded = compute_on_dataset(
+        model, params, loader, ds, ds.class_emb_mtx, mesh=mesh
+    )
+    res_plain = compute_on_dataset(
+        model, params, ListLoader(ds, 2), ds, ds.class_emb_mtx, mesh=None
+    )
+    assert len(res_sharded) == len(res_plain) > 0
+    from cvpr22_cross_modal_pseudo_labeling_tpu.utils.rle import decode_rle
+
+    for a, b in zip(res_sharded, res_plain):
+        assert a["image_id"] == b["image_id"]
+        assert a["category_id"] == b["category_id"]
+        # sharded and unsharded are different XLA programs; tolerate
+        # reassociation-level float noise only
+        np.testing.assert_allclose(a["score"], b["score"], rtol=1e-4)
+        np.testing.assert_allclose(
+            a["bbox"], b["bbox"], rtol=1e-3, atol=1e-2
+        )
+        if "segmentation" in a:
+            ma = decode_rle(a["segmentation"]).astype(bool)
+            mb = decode_rle(b["segmentation"]).astype(bool)
+            union = (ma | mb).sum()
+            if union:  # empty == empty is exact agreement
+                assert (ma & mb).sum() / union > 0.99
