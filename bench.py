@@ -128,18 +128,42 @@ def main():
     dt = time.perf_counter() - t0
 
     imgs_per_sec = batch_size * n_steps / dt
-    print(
-        json.dumps(
-            {
-                "metric": "maskrcnn_r50c4_train_imgs_per_sec_per_chip",
-                "value": round(imgs_per_sec, 3),
-                "unit": "imgs/sec/chip",
-                "vs_baseline": round(
-                    imgs_per_sec / A100_REFERENCE_IMGS_PER_SEC, 3
-                ),
-            }
-        )
-    )
+    out = {
+        "metric": "maskrcnn_r50c4_train_imgs_per_sec_per_chip",
+        "value": round(imgs_per_sec, 3),
+        "unit": "imgs/sec/chip",
+        "vs_baseline": round(
+            imgs_per_sec / A100_REFERENCE_IMGS_PER_SEC, 3
+        ),
+    }
+
+    # FLOPs accounting -> MFU (VERDICT r1: give the number roofline
+    # context).  XLA's cost analysis counts HLO flops of the compiled
+    # step program; v5e peak is 197 TFLOP/s bf16.
+    try:
+        cost = step.lower(state, batch).compile().cost_analysis()
+        if isinstance(cost, (list, tuple)):
+            cost = cost[0]
+        flops_per_step = float(cost.get("flops", 0.0))
+        if flops_per_step > 0:
+            sec_per_step = dt / n_steps
+            achieved = flops_per_step / sec_per_step
+            peak = 197e12  # v5e bf16
+            out["flops_per_step"] = flops_per_step
+            out["tflops_per_sec"] = round(achieved / 1e12, 2)
+            out["mfu_pct"] = round(100.0 * achieved / peak, 2)
+            # context: the 4 img/s A100 anchor implies this model FLOPs
+            # rate on a 312-TFLOP/s-peak chip
+            implied = (
+                flops_per_step / batch_size * A100_REFERENCE_IMGS_PER_SEC
+            )
+            out["implied_a100_baseline_mfu_pct"] = round(
+                100.0 * implied / 312e12, 2
+            )
+    except Exception as e:  # cost analysis unsupported on this backend
+        out["mfu_note"] = f"cost_analysis unavailable: {type(e).__name__}"
+
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

@@ -251,3 +251,85 @@ def test_make_data_loader_grain_path(tiny_coco):
     batch, indices = batches[0]
     assert batch["images"].shape[0] == 2
     assert len(indices) == 2
+
+
+def test_lvis_parser_recall_over_full_vocabulary():
+    """LVIS-parser characterization (VERDICT r1 item 9).  spaCy is not
+    installable here, so instead of a spaCy-diff fixture this measures
+    the rule lemmatizer's recovery rate over the ENTIRE LVIS-1203
+    synonym vocabulary: every category's first synonym is embedded in a
+    template caption, singular and (naively) pluralized, and the parser
+    must return the id its lookup assigns that synonym.  Synonyms shared
+    by several categories collide in the lookup dict exactly as in the
+    reference (parser.py:48-51 last-write-wins, duplication print
+    commented out); collisions are counted and bounded."""
+    from cvpr22_cross_modal_pseudo_labeling_tpu.data.parser import (
+        get_parser,
+        lemmatize_phrase,
+        load_lvis_categories,
+    )
+
+    parser = get_parser()
+    cats = load_lvis_categories()
+
+    def pluralize(phrase):
+        w = phrase.split()
+        last = w[-1]
+        if last.endswith(("s", "sh", "ch", "x", "z")):
+            last = last + "es"
+        elif last.endswith("y") and last[-2] not in "aeiou":
+            last = last[:-1] + "ies"
+        else:
+            last = last + "s"
+        return " ".join(w[:-1] + [last])
+
+    n, hit_sg, hit_pl, collisions = 0, 0, 0, 0
+    for item in cats:
+        idx = item["id"] - 1
+        syn = item["synonyms"][0].lower().replace("_", " ")
+        syn = syn.split("(")[0].strip()
+        if not syn:
+            continue
+        key = lemmatize_phrase(syn).replace(" - ", "-")
+        owner = parser.look_up.get(key)
+        if owner is None:
+            continue
+        if owner != idx:
+            collisions += 1  # reference dict behaves identically
+            continue
+        n += 1
+        _, ids = parser.parse(f"a photo of the {syn} on a table")
+        hit_sg += idx in ids
+        _, ids_pl = parser.parse(f"two {pluralize(syn)} in a room")
+        hit_pl += idx in ids_pl
+    assert collisions <= 0.02 * len(cats), collisions
+    assert hit_sg == n, f"singular recall {hit_sg}/{n}"
+    assert hit_pl / n >= 0.95, f"plural recall {hit_pl}/{n}"
+
+
+def test_lvis_parser_caption_style_sentences():
+    """Spot-checks on realistic COCO-caption phrasings: word
+    boundaries, multiword synonyms, irregular plurals, synonym->name
+    resolution (man/woman/child -> person)."""
+    from cvpr22_cross_modal_pseudo_labeling_tpu.data.parser import (
+        get_parser,
+    )
+
+    parser = get_parser()
+
+    def names_for(sentence):
+        _, ids = parser.parse(sentence)
+        return {parser.class_names[i] for i in ids}
+
+    got = names_for("A man riding his bicycle with two dogs in a basket")
+    assert {"person", "bicycle", "dog", "basket"} <= got
+    got = names_for("Several women eating slices of pizza at a table")
+    assert {"person", "pizza", "table"} <= got
+    got = names_for("Two teddy bears sitting on a wooden bench")
+    assert {"teddy_bear", "bench"} <= got
+    # boundary: 'cat' must not fire inside 'catalog'
+    got = names_for("a catalog next to a laptop computer")
+    assert "cat" not in got and "laptop_computer" in got
+    # irregular plurals
+    got = names_for("children flying kites near some geese")
+    assert {"person", "kite", "goose"} <= got
