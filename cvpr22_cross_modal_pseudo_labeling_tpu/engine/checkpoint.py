@@ -176,10 +176,21 @@ def _candidate_values(value: np.ndarray, target_shape) -> Optional[np.ndarray]:
     if tuple(v.shape) == tuple(target_shape):
         return v
     if v.ndim == 4:
-        for perm in ((2, 3, 1, 0), (2, 3, 0, 1)):
-            t = v.transpose(perm)
-            if tuple(t.shape) == tuple(target_shape):
-                return t
+        # Conv2d: torch (out, in, kh, kw) -> flax (kh, kw, in, out).
+        t = v.transpose(2, 3, 1, 0)
+        if tuple(t.shape) == tuple(target_shape):
+            return t
+        # ConvTranspose2d: torch (in, out, kh, kw) -> flax ConvTranspose
+        # (kh, kw, in, out) *with a spatial flip* — torch's deconv is the
+        # gradient of conv (taps reversed), flax/lax.conv_transpose reads
+        # the kernel unflipped (verified exact in
+        # tests/test_checkpoint.py::test_conv_transpose_import).  Only
+        # reached when in != out, so it cannot shadow a Conv2d kernel;
+        # a *square* ConvTranspose would be ambiguous, and none exists
+        # in this model family (conv5_mask 2048->256, kps deconv 512->K).
+        t = v[:, :, ::-1, ::-1].transpose(2, 3, 0, 1)
+        if tuple(t.shape) == tuple(target_shape):
+            return t
     if v.ndim == 2 and tuple(v.T.shape) == tuple(target_shape):
         return v.T
     if v.ndim == 1 and tuple(v.shape) == tuple(target_shape):

@@ -178,8 +178,12 @@ def install_reference(with_transformers_shim: bool = False):
         for fn in ("frPyObjects", "decode", "encode", "merge", "iou", "area"):
             setattr(pyc_mask, fn, _StubAttr(f"pycocotools.mask.{fn}"))
         pyc.mask = pyc_mask
+        pyc_coco = _module("pycocotools.coco")
+        pyc_coco.COCO = _StubAttr("pycocotools.coco.COCO")
+        pyc.coco = pyc_coco
         sys.modules["pycocotools"] = pyc
         sys.modules["pycocotools.mask"] = pyc_mask
+        sys.modules["pycocotools.coco"] = pyc_coco
 
     # --- transformers.modeling_bert (pre-3.x HF layout) -----------------
     if with_transformers_shim and "transformers.modeling_bert" not in sys.modules:
@@ -219,3 +223,121 @@ def ref_module(name: str, with_transformers_shim: bool = False):
     import importlib
 
     return importlib.import_module(f"maskrcnn_benchmark.{name}")
+
+
+def install_reference_full():
+    """install_reference() plus everything `build_detection_model` needs
+    to construct and run the COMPLETE reference model on CPU:
+
+    - the reference's own compiled CPU kernels (csrc/cpu/{nms,ROIAlign})
+      wired into the _C stub (see tests/ref_native.py),
+    - torch._six / torchvision / spacy / nltk import shims
+      (import-time-only dependencies of the data package, which
+      st_generalized_rcnn.py:18 pulls in transitively),
+    - the `build_language_backbone` entry point that is missing at
+      reference HEAD (SURVEY §2.10 defect 1) so detectors.py imports.
+
+    Returns the reference `build_detection_model`.
+    """
+    import torch
+
+    # torch._six was removed in torch>=1.9
+    if "torch._six" not in sys.modules:
+        import collections.abc
+
+        six = _module("torch._six")
+        six.PY3 = True
+        six.string_classes = (str,)
+        six.int_classes = (int,)
+        six.container_abcs = collections.abc
+        sys.modules["torch._six"] = six
+        torch._six = six
+
+    # torchvision: only CocoDetection/CocoCaptions base classes and the
+    # exact-version assert (openimages.py:54) are touched at import time
+    if "torchvision" not in sys.modules:
+        tv = _module("torchvision")
+        tv.__version__ = "0.8.2+cu110"
+        tv_datasets = _module("torchvision.datasets")
+        tv_coco = _module("torchvision.datasets.coco")
+
+        class _TVCocoDetection:
+            def __init__(self, *a, **k):
+                raise RuntimeError("torchvision stub dataset instantiated")
+
+        class _TVCocoCaptions(_TVCocoDetection):
+            pass
+
+        tv_coco.CocoDetection = _TVCocoDetection
+        tv_coco.CocoCaptions = _TVCocoCaptions
+        tv_datasets.coco = tv_coco
+        tv_datasets.CocoDetection = _TVCocoDetection
+        tv_datasets.CocoCaptions = _TVCocoCaptions
+        tv.datasets = tv_datasets
+        tv_transforms = _module("torchvision.transforms")
+        tv_functional = _module("torchvision.transforms.functional")
+        for fn in ("to_tensor", "normalize", "hflip", "vflip", "resize"):
+            setattr(tv_functional, fn, _StubAttr(f"torchvision.F.{fn}"))
+        tv_transforms.functional = tv_functional
+        tv_transforms.ColorJitter = _StubAttr("torchvision.ColorJitter")
+        tv.transforms = tv_transforms
+        sys.modules["torchvision"] = tv
+        sys.modules["torchvision.datasets"] = tv_datasets
+        sys.modules["torchvision.datasets.coco"] = tv_coco
+        sys.modules["torchvision.transforms"] = tv_transforms
+        sys.modules["torchvision.transforms.functional"] = tv_functional
+
+    # spacy / nltk (LVISParser imports; only instantiated lazily)
+    if "spacy" not in sys.modules:
+        spacy = _module("spacy")
+        spacy.load = _StubAttr("spacy.load")
+        sys.modules["spacy"] = spacy
+    if "nltk" not in sys.modules:
+        nltk = _module("nltk")
+        corpus = _module("nltk.corpus")
+        corpus.wordnet = _module("nltk.corpus.wordnet")
+        corpus.wordnet.synsets = _StubAttr("wordnet.synsets")
+        nltk.corpus = corpus
+        sys.modules["nltk"] = nltk
+        sys.modules["nltk.corpus"] = corpus
+    if "pycococreatortools" not in sys.modules:
+        pcc = _module("pycococreatortools")
+        pcc_inner = _module("pycococreatortools.pycococreatortools")
+        pcc_inner.create_annotation_info = _StubAttr(
+            "pycococreatortools.create_annotation_info"
+        )
+        pcc.pycococreatortools = pcc_inner
+        sys.modules["pycococreatortools"] = pcc
+        sys.modules["pycococreatortools.pycococreatortools"] = pcc_inner
+    if "cityscapesscripts" not in sys.modules:
+        cs = _module("cityscapesscripts")
+        helpers = _module("cityscapesscripts.helpers")
+        helpers.csHelpers = _module("cityscapesscripts.helpers.csHelpers")
+        cs.helpers = helpers
+        sys.modules["cityscapesscripts"] = cs
+        sys.modules["cityscapesscripts.helpers"] = helpers
+        sys.modules["cityscapesscripts.helpers.csHelpers"] = helpers.csHelpers
+
+    install_reference(with_transformers_shim=True)
+
+    # real kernels for the CPU-capable native ops
+    from ref_native import load_reference_cpu_ops
+
+    ops = load_reference_cpu_ops()
+    c = sys.modules["maskrcnn_benchmark._C"]
+    c.nms = ops.nms_cpu
+    c.roi_align_forward = ops.roi_align_forward_cpu
+
+    import maskrcnn_benchmark.modeling.language_backbone as lb
+
+    if not hasattr(lb, "build_language_backbone"):
+        # GeneralizedRCNN never calls it; present only so detectors.py
+        # (which imports mmss_gcnn unconditionally) can be imported.
+        def _no_lb(cfg):
+            raise RuntimeError("language backbone not wired in this oracle")
+
+        lb.build_language_backbone = _no_lb
+
+    from maskrcnn_benchmark.modeling.detector import build_detection_model
+
+    return build_detection_model

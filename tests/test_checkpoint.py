@@ -1,3 +1,5 @@
+import jax
+import jax.numpy as jnp
 import numpy as np
 import pytest
 
@@ -274,3 +276,37 @@ def test_populate_student_from_teacher():
     np.testing.assert_allclose(
         new_params["backbone"]["stem"]["conv1"]["kernel"], 0.0
     )
+
+
+def test_conv_transpose_import():
+    """torch ConvTranspose2d (in, out, kh, kw) kernels must be imported
+    with a spatial flip: torch's deconv is the gradient of conv (taps
+    reversed), flax's ConvTranspose reads the kernel unflipped.  Caught
+    by the e2e reference parity suite (mask head conv5_mask maps were
+    structurally wrong without the flip)."""
+    import torch
+    from flax import linen as nn
+
+    from cvpr22_cross_modal_pseudo_labeling_tpu.engine.checkpoint import (
+        import_torch_state_dict,
+    )
+
+    t = torch.nn.ConvTranspose2d(4, 3, 2, stride=2)
+    x = np.random.RandomState(0).randn(1, 4, 6, 6).astype(np.float32)
+    with torch.no_grad():
+        ref = t(torch.from_numpy(x)).numpy()
+
+    m = nn.ConvTranspose(3, (2, 2), strides=(2, 2), name="conv5_mask")
+    xj = jnp.asarray(x.transpose(0, 2, 3, 1))
+    params = m.init(jax.random.PRNGKey(0), xj)
+    tree = {"mask_predictor": {"conv5_mask": params["params"]}}
+    sd = {
+        "roi_heads.mask.predictor.conv5_mask.weight": t.weight.detach().numpy(),
+        "roi_heads.mask.predictor.conv5_mask.bias": t.bias.detach().numpy(),
+    }
+    new_tree, report = import_torch_state_dict(tree, sd)
+    assert report["matched"] == 2, report
+    out = np.asarray(
+        m.apply({"params": new_tree["mask_predictor"]["conv5_mask"]}, xj)
+    ).transpose(0, 3, 1, 2)
+    np.testing.assert_allclose(out, ref, rtol=0, atol=1e-5)
