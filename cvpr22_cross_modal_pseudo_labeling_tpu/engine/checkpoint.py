@@ -112,6 +112,10 @@ _TORCH_LEAF_MAP = {
     "bias": ("bias", "frozen_bn_bias"),
     "running_mean": ("frozen_bn_mean",),
     "running_var": ("frozen_bn_var",),
+    # STGeneralizedRCNN registers the BERT word-embedding table as a bare
+    # Parameter named `bert.embeddings` (reference transformers.py:24);
+    # our table-only backbone calls it word_embeddings.
+    "embeddings": ("word_embeddings",),
 }
 
 
@@ -238,6 +242,7 @@ def import_torch_state_dict(
     flat = _flatten_params(params)
     # target path strings (leaf translated back to torch-ish vocab)
     target_keys = {path: "/".join(path) for path in flat}
+    top_level = {path[0] for path in flat if len(path) > 1}
 
     matched, missed = {}, []
     used_targets = set()
@@ -248,10 +253,19 @@ def import_torch_state_dict(
         leaf = segs[-1]
         body = segs[:-1]
         leaf_options = _TORCH_LEAF_MAP.get(leaf, (leaf,))
+        # when the source names a known top-level subtree (teacher /
+        # student / backbone ...), never let suffix matching cross into a
+        # different subtree: an ST checkpoint's duplicated shared-
+        # extractor keys (roi_heads.mask.feature_extractor == box's)
+        # would otherwise fall through onto the *student's* extractor
+        # before the student's own keys are reached
+        root = body[0] if body and body[0] in top_level else None
         best = None
         best_len = -1
         for path, pstr in target_keys.items():
             if path in used_targets:
+                continue
+            if root is not None and path[0] != root:
                 continue
             if path[-1] not in leaf_options:
                 continue

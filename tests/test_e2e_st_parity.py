@@ -1,0 +1,363 @@
+"""End-to-end parity of the PAPER'S CORE PATH against the reference
+STGeneralizedRCNN: teacher pseudo-label generation (reference
+st_generalized_rcnn.py:218-275) and the student eval path (:409-418),
+run on CPU with the reference's own compiled kernels, compared against
+our fused device-side implementation loaded from the same .pth.
+
+BERT is patched to a tiny randomly-initialized model with a shared
+deterministic tokenizer (no pretrained weights exist in this
+environment); since the reference reduces BERT to an embedding-table
+lookup (transformers.py:67), parity of extract_emb is exact once both
+sides read the same table, which the .pth import provides.
+"""
+
+import types
+
+import numpy as np
+import pytest
+import torch
+
+import jax
+import jax.numpy as jnp
+
+from ref_oracle import install_reference_full
+from test_reference_parity import _randomize_state_dict
+from test_e2e_reference_parity import _greedy_match, _tame_state_dict
+
+pytestmark = pytest.mark.slow
+
+NUM_CLASSES = 9
+# 768 is load-bearing: generate_pseudo_label's vocab save/restore swaps
+# in a torch.zeros((1, 768)) dummy (st_generalized_rcnn.py:220), so the
+# reference only runs at the production embedding width.
+EMB_DIM = 768
+IMG_H, IMG_W = 96, 128
+PRE_NMS = 400
+POST_NMS = 64
+DETS_PER_IMG = 16
+
+VOCAB = {
+    "[PAD]": 0, "[UNK]": 1, "[CLS]": 2, "[SEP]": 3,
+    "cat": 4, "dog": 5, "zebra": 6, "chair": 7, "person": 8, "a": 9,
+}
+CAP_WORDS = ["cat", "zebra", "chair"]  # noun phrases for the test image
+CAP_IDS = [3, 7, 11]  # 0-based LVIS-style category ids for those nouns
+
+
+class FakeTokenizer:
+    """Deterministic whole-word tokenizer with the HF batch_encode_plus
+    surface the reference BERT.forward touches (transformers.py:29-33).
+    Unknown words -> [UNK]; special_tokens_mask covers CLS/SEP/PAD like
+    HF's."""
+
+    def batch_encode_plus(self, text_list, **kw):
+        seqs = [
+            [VOCAB["[CLS]"]]
+            + [VOCAB.get(w, VOCAB["[UNK]"]) for w in t.split()]
+            + [VOCAB["[SEP]"]]
+            for t in text_list
+        ]
+        n = max(len(s) for s in seqs)
+        out = {"input_ids": [], "attention_mask": [], "special_tokens_mask": []}
+        for s in seqs:
+            pad = n - len(s)
+            out["input_ids"].append(s + [VOCAB["[PAD]"]] * pad)
+            out["attention_mask"].append([1] * len(s) + [0] * pad)
+            out["special_tokens_mask"].append(
+                [1] + [0] * (len(s) - 2) + [1] + [1] * pad
+            )
+        return out
+
+
+def tokenize_words(words):
+    """Our-side arrays for the same words: [W, T] ids + real-wordpiece
+    mask (1 - special_tokens_mask, like extract_emb)."""
+    enc = FakeTokenizer().batch_encode_plus(words)
+    ids = np.asarray(enc["input_ids"], np.int32)
+    mask = 1 - np.asarray(enc["special_tokens_mask"], np.int32)
+    return ids, mask
+
+
+def _patch_reference_bert():
+    import transformers as hf
+    import maskrcnn_benchmark.modeling.language_backbone.transformers as rt
+
+    bert_cfg = hf.BertConfig(
+        vocab_size=len(VOCAB),
+        hidden_size=EMB_DIM,
+        num_hidden_layers=1,
+        num_attention_heads=2,
+        intermediate_size=64,
+    )
+    rt.BertConfig = types.SimpleNamespace(
+        from_pretrained=lambda name: bert_cfg
+    )
+    rt.BertTokenizer = types.SimpleNamespace(
+        from_pretrained=lambda name: FakeTokenizer()
+    )
+
+    def _model(name, config=None):
+        torch.manual_seed(3)
+        return hf.BertModel(config)
+
+    rt.BertModel = types.SimpleNamespace(from_pretrained=_model)
+
+
+def _ref_cfg():
+    from maskrcnn_benchmark.config import cfg
+
+    c = cfg.clone()
+    c.MODEL.DEVICE = "cpu"
+    c.MODEL.META_ARCHITECTURE = "STGeneralizedRCNN"
+    c.MODEL.MASK_ON = True
+    c.MODEL.CLS_AGNOSTIC_MASK = True
+    c.MODEL.CLS_AGNOSTIC_BBOX_REG = True
+    c.MODEL.UNCERTAINTY = False
+    c.MODEL.RPN.DONT_TRAIN = True
+    c.MODEL.WEIGHT = "/tmp/st_parity_nonexistent/model.pth"
+    c.MODEL.ROI_BOX_HEAD.NUM_CLASSES = NUM_CLASSES
+    c.MODEL.ROI_BOX_HEAD.EMB_DIM = EMB_DIM
+    c.MODEL.ROI_BOX_HEAD.EMBEDDING_BASED = True
+    c.MODEL.ROI_HEADS.POSITIVE_FRACTION = 1.0
+    c.MODEL.ROI_HEADS.DETECTIONS_PER_IMG = DETS_PER_IMG
+    c.MODEL.RPN.PRE_NMS_TOP_N_TEST = PRE_NMS
+    c.MODEL.RPN.POST_NMS_TOP_N_TEST = POST_NMS
+    return c
+
+
+def _our_cfg():
+    from cvpr22_cross_modal_pseudo_labeling_tpu.config import get_default_cfg
+
+    cfg = get_default_cfg()
+    cfg.MODEL.META_ARCHITECTURE = "STGeneralizedRCNN"
+    cfg.MODEL.MASK_ON = True
+    cfg.MODEL.CLS_AGNOSTIC_MASK = True
+    cfg.MODEL.CLS_AGNOSTIC_BBOX_REG = True
+    cfg.MODEL.UNCERTAINTY = False
+    cfg.MODEL.RPN.DONT_TRAIN = True
+    cfg.MODEL.ROI_BOX_HEAD.NUM_CLASSES = NUM_CLASSES
+    cfg.MODEL.ROI_BOX_HEAD.EMB_DIM = EMB_DIM
+    cfg.MODEL.ROI_BOX_HEAD.EMBEDDING_BASED = True
+    cfg.MODEL.ROI_HEADS.POSITIVE_FRACTION = 1.0
+    cfg.MODEL.ROI_HEADS.BATCH_SIZE_PER_IMAGE = 64
+    cfg.MODEL.ROI_HEADS.DETECTIONS_PER_IMG = DETS_PER_IMG
+    cfg.MODEL.RPN.PRE_NMS_TOP_N_TEST = PRE_NMS
+    cfg.MODEL.RPN.POST_NMS_TOP_N_TEST = POST_NMS
+    cfg.MODEL.RPN.PRE_NMS_TOP_N_TRAIN = PRE_NMS
+    cfg.MODEL.RPN.POST_NMS_TOP_N_TRAIN = POST_NMS
+    cfg.TPU.COMPUTE_DTYPE = "float32"
+    cfg.TPU.NMS_TILE = 128
+    return cfg
+
+
+@pytest.fixture(scope="module")
+def ref(tmp_path_factory):
+    build = install_reference_full()
+    _patch_reference_bert()
+    from maskrcnn_benchmark.structures.bounding_box import BoxList
+    from maskrcnn_benchmark.structures.image_list import to_image_list
+
+    model = build(_ref_cfg())
+    rng = np.random.RandomState(11)
+    orig = model.state_dict()
+    model.load_state_dict(
+        _tame_state_dict(_randomize_state_dict(orig, rng), orig)
+    )
+    model.eval()
+
+    class_emb = (0.3 * rng.randn(NUM_CLASSES, EMB_DIM)).astype(np.float32)
+    image = rng.randn(3, IMG_H, IMG_W).astype(np.float32)
+    timg = torch.from_numpy(image)
+
+    model.roi_heads.box.predictor.set_class_embeddings(
+        torch.from_numpy(class_emb)
+    )
+
+    # --- teacher pseudo-label branch (generate_pseudo_label) ----------
+    with torch.no_grad():
+        feats = model.backbone(timg[None])
+        (props,), _ = model.rpn(to_image_list([timg], 32), feats, None)
+        target = BoxList(torch.zeros((len(CAP_WORDS), 4)), (IMG_W, IMG_H))
+        target.add_field("ids_cap", torch.tensor(CAP_IDS))
+        (pl,) = model.generate_pseudo_label(
+            feats, [props], [CAP_WORDS], [target]
+        )
+        # restore the vocab clobbered by generate_pseudo_label's
+        # save/restore (it restores, but be explicit for the eval pass)
+        model.roi_heads.box.predictor.set_class_embeddings(
+            torch.from_numpy(class_emb)
+        )
+        (ev,) = model(to_image_list([timg], 32))
+
+    pth = tmp_path_factory.mktemp("ckpt") / "ref_st.pth"
+    torch.save(model.state_dict(), str(pth))
+
+    return {
+        "pth": str(pth),
+        "class_emb": class_emb,
+        "image": image,
+        "proposals": props.bbox.numpy(),
+        "pl_boxes": pl.bbox.numpy(),
+        "pl_scores": pl.get_field("scores").numpy(),
+        "pl_labels": pl.get_field("labels").numpy(),
+        "pl_masks": pl.get_field("masks").get_mask_tensor().numpy(),
+        "ev_boxes": ev.bbox.numpy(),
+        "ev_scores": ev.get_field("scores").numpy(),
+        "ev_labels": ev.get_field("labels").numpy(),
+        "ev_masks": ev.get_field("mask").numpy(),
+    }
+
+
+@pytest.fixture(scope="module")
+def ours(ref):
+    from cvpr22_cross_modal_pseudo_labeling_tpu.engine.checkpoint import (
+        import_torch_state_dict,
+        load_torch_checkpoint,
+    )
+    from cvpr22_cross_modal_pseudo_labeling_tpu.models.detector.st_generalized_rcnn import (
+        STGeneralizedRCNN,
+        st_statics_from_cfg,
+    )
+
+    statics = st_statics_from_cfg(_our_cfg())._replace(
+        vocab_size=len(VOCAB), lvis_vocab=16
+    )
+    model = STGeneralizedRCNN(statics)
+    images = jnp.asarray(ref["image"].transpose(1, 2, 0))[None]
+    image_sizes = jnp.array([[IMG_H, IMG_W]], jnp.int32)
+    class_emb = jnp.asarray(ref["class_emb"])
+
+    # init through the training path so every bundle (teacher, student,
+    # bert, rpn) exists in the param tree
+    nw = len(CAP_WORDS)
+    dummy_batch = {
+        "cap_mask": jnp.array([True]),
+        "det_mask": jnp.array([True]),
+        "cap_tok_ids": jnp.zeros((1, nw, 4), jnp.int32),
+        "cap_tok_mask": jnp.ones((1, nw, 4), jnp.int32),
+        "cap_word_valid": jnp.ones((1, nw), bool),
+        "cap_labels": jnp.zeros((1, nw), jnp.int32),
+        "gt_boxes": jnp.tile(jnp.array([[4.0, 4.0, 30.0, 30.0]]), (1, 4, 1)),
+        "gt_labels": jnp.ones((1, 4), jnp.int32),
+        "gt_valid": jnp.ones((1, 4), bool),
+        "gt_masks": jnp.ones((1, 4, 28, 28)),
+    }
+    params = model.init(
+        {"params": jax.random.PRNGKey(0), "sampler": jax.random.PRNGKey(1)},
+        images,
+        image_sizes,
+        dummy_batch,
+        class_embeddings=class_emb,
+        lvis_class_embeddings=jnp.zeros((16, EMB_DIM)),
+        train=True,
+    )
+    sd = load_torch_checkpoint(ref["pth"])
+    new_params, report = import_torch_state_dict(params["params"], sd)
+
+    ids, mask = tokenize_words(CAP_WORDS)
+
+    def _pseudo(m, images, image_sizes, ids, mask, wvalid):
+        feats = m.backbone(images)
+        _, _, _, props = m._rpn_proposals(
+            images, image_sizes, feats, train_selector=False
+        )
+        return props, m.generate_pseudo_labels(
+            feats, props, image_sizes, ids, mask, wvalid
+        )
+
+    props, pseudo = model.apply(
+        {"params": new_params},
+        images,
+        image_sizes,
+        jnp.asarray(ids)[None],
+        jnp.asarray(mask)[None],
+        jnp.ones((1, len(CAP_WORDS)), bool),
+        method=_pseudo,
+    )
+
+    ev = model.apply(
+        {"params": new_params},
+        images,
+        image_sizes,
+        class_embeddings=class_emb,
+        train=False,
+    )
+    return {
+        "report": report,
+        "proposals": props,
+        "pseudo": pseudo,
+        "ev": ev,
+        "sd": sd,
+    }
+
+
+def test_st_import_routes_both_bundles(ours):
+    """roi_heads.* -> teacher/*, roi_heads_student.* -> student/*, and
+    bert.embeddings -> the word-embedding table; nothing in our tree is
+    left at init."""
+    rep = ours["report"]
+    assert not rep["unfilled_targets"], rep["unfilled_targets"][:8]
+    allowed = (
+        "anchor_generator",          # static anchors on our side
+        "bert.bert_model.",          # unused 1-layer HF stand-in; the live
+                                     # path reads only bert.embeddings
+        ".mask.feature_extractor.",  # shared-extractor duplicate keys
+    )
+    for k in rep["missed_source_keys"]:
+        assert any(a in k for a in allowed), f"unexpected unmatched: {k}"
+
+
+def test_pseudo_label_parity(ref, ours):
+    """Per caption word: the teacher picks the same region (same
+    teacher-regressed box), the same sigmoid alignment score, and the
+    same label (ids_cap passthrough)."""
+    pseudo = ours["pseudo"]
+    our_boxes = np.asarray(pseudo["boxes"][0])
+    our_scores = np.asarray(pseudo["scores"][0])
+    assert np.asarray(pseudo["valid"][0]).all()
+
+    np.testing.assert_array_equal(ref["pl_labels"], np.asarray(CAP_IDS))
+    np.testing.assert_allclose(
+        our_scores, ref["pl_scores"], rtol=0, atol=2e-3
+    )
+    np.testing.assert_allclose(
+        our_boxes, ref["pl_boxes"], rtol=0, atol=0.15
+    )
+
+
+def test_pseudo_mask_parity(ref, ours):
+    """The teacher's distillation mask targets agree: our box-local
+    binary 14x14 masks, pasted onto the image at the pseudo boxes, match
+    the reference's Masker-pasted SegmentationMask pixels."""
+    from cvpr22_cross_modal_pseudo_labeling_tpu.ops.masks import (
+        paste_masks_np,
+    )
+
+    pseudo = ours["pseudo"]
+    our_local = np.asarray(pseudo["masks"][0])  # [W, 14, 14] binary
+    boxes = np.asarray(pseudo["boxes"][0])
+    pasted = paste_masks_np(our_local, boxes, (IMG_H, IMG_W), 0.5, 1)
+
+    ref_masks = ref["pl_masks"]
+    if ref_masks.ndim == 2:  # single-instance squeeze
+        ref_masks = ref_masks[None]
+    assert pasted.shape == ref_masks.shape
+    mismatch = (pasted != ref_masks).mean()
+    assert mismatch < 0.005, f"pasted pseudo-mask pixel mismatch {mismatch}"
+
+
+def test_st_eval_parity(ref, ours):
+    """Eval = student heads + teacher vocabulary: same detections."""
+    ev = ours["ev"]
+    valid = np.asarray(ev.detections.valid[0])
+    boxes = np.asarray(ev.detections.boxes[0])[valid]
+    scores = np.asarray(ev.detections.scores[0])[valid]
+    labels = np.asarray(ev.detections.labels[0])[valid]
+
+    rb, rs, rl = ref["ev_boxes"], ref["ev_scores"], ref["ev_labels"]
+    assert len(rb) > 3, "degenerate oracle: <4 student detections"
+    pairs = _greedy_match(rb, rl, boxes, labels, iou_thresh=0.9)
+    assert len(pairs) / len(rb) >= 0.9, f"{len(pairs)}/{len(rb)} matched"
+    assert len(pairs) / max(len(boxes), 1) >= 0.9
+    sd = max(abs(rs[r] - scores[o]) for r, o in pairs)
+    assert sd < 2e-3, f"max score diff {sd}"
