@@ -204,13 +204,32 @@ def install_reference(with_transformers_shim: bool = False):
         shim.BertLayerNorm = torch.nn.LayerNorm
         sys.modules["transformers.modeling_bert"] = shim
 
-    # CPU-only torch: make .cuda() a no-op (the reference hardcodes
-    # .cuda() in a few loss paths, e.g. box_head/loss.py:173)
+    # CPU-only torch: make .cuda() / .to('cuda') no-ops (the reference
+    # hardcodes them in loss paths, e.g. box_head/loss.py:173,
+    # grounding_head.py:327-339)
     import torch
 
     if not torch.cuda.is_available():
         torch.Tensor.cuda = lambda self, *a, **k: self
         torch.nn.Module.cuda = lambda self, *a, **k: self
+        if not getattr(torch.Tensor, "_cmpl_to_patched", False):
+            _orig_to = torch.Tensor.to
+
+            def _to(self, *args, **kwargs):
+                if args and (
+                    args[0] == "cuda"
+                    or (
+                        isinstance(args[0], torch.device)
+                        and args[0].type == "cuda"
+                    )
+                ):
+                    args = ("cpu",) + args[1:]
+                if kwargs.get("device") in ("cuda", torch.device("cuda")):
+                    kwargs["device"] = "cpu"
+                return _orig_to(self, *args, **kwargs)
+
+            torch.Tensor.to = _to
+            torch.Tensor._cmpl_to_patched = True
 
     import maskrcnn_benchmark  # noqa: F401
 
