@@ -264,3 +264,156 @@ def test_mask_parity(e2e, ours):
     diffs = [np.abs(rm[r] - masks[o]).max() for r, o in pairs]
     assert np.median(diffs) < 5e-3, f"median mask prob diff {np.median(diffs)}"
     assert max(diffs) < 5e-2, f"max mask prob diff {max(diffs)}"
+
+
+# ---------------------------------------------------------------------------
+# Training-loss parity: same weights + same GT -> same loss dict.
+# Sampling caps are set above every candidate count (RPN batch >= all
+# anchors, RoI batch >= proposals+GT, POSITIVE_FRACTION high enough to
+# keep every positive) so both frameworks keep the SAME sample set and
+# the reference's randperm only permutes order, which every loss
+# reduction is invariant to.
+# ---------------------------------------------------------------------------
+
+N_GT = 3
+
+
+def _train_cfg_overrides(c, is_ref):
+    c.MODEL.RPN.PRE_NMS_TOP_N_TRAIN = PRE_NMS
+    c.MODEL.RPN.POST_NMS_TOP_N_TRAIN = POST_NMS
+    # our padded sampler compacts to a static batch <= candidate count,
+    # so pin both batches to the exact pool sizes; the reference then
+    # also keeps everything (min(batch, available) semantics)
+    c.MODEL.RPN.BATCH_SIZE_PER_IMAGE = 720  # all anchors at 96x128
+    c.MODEL.RPN.POSITIVE_FRACTION = 0.5
+    c.MODEL.ROI_HEADS.BATCH_SIZE_PER_IMAGE = POST_NMS + N_GT
+    c.MODEL.ROI_HEADS.POSITIVE_FRACTION = 1.0
+    return c
+
+
+def _gt_fixture(rng):
+    """Rectangle-mask GT: piecewise-constant masks minimize resampling
+    differences between the reference's polygon/mask projection and our
+    box-local 28x28 representation."""
+    boxes = np.array(
+        [[10.0, 8.0, 60.0, 50.0], [50.0, 30.0, 120.0, 90.0],
+         [4.0, 60.0, 40.0, 92.0]],
+        np.float32,
+    )
+    labels = np.array([1, 2, 4], np.int64)
+    masks = np.zeros((N_GT, IMG_H, IMG_W), np.uint8)
+    for i, (x1, y1, x2, y2) in enumerate(boxes):
+        # inset rectangle so the mask has structure inside the box
+        ix1, iy1 = int(x1) + 3, int(y1) + 2
+        ix2, iy2 = int(x2) - 4, int(y2) - 3
+        masks[i, iy1:iy2, ix1:ix2] = 1
+    return boxes, labels, masks
+
+
+@pytest.fixture(scope="module")
+def train_pair(e2e):
+    """Reference train-mode loss dict on a fixed GT set."""
+    from maskrcnn_benchmark.structures.bounding_box import BoxList
+    from maskrcnn_benchmark.structures.image_list import to_image_list
+    from maskrcnn_benchmark.structures.segmentation_mask import (
+        SegmentationMask,
+    )
+
+    build = install_reference_full()
+    ref_model = build(_train_cfg_overrides(_ref_cfg(), True))
+    rng = np.random.RandomState(7)
+    orig = ref_model.state_dict()
+    ref_model.load_state_dict(
+        _tame_state_dict(_randomize_state_dict(orig, rng), orig)
+    )
+    ref_model.train()
+    ref_model.roi_heads.box.predictor.set_class_embeddings(
+        torch.from_numpy(e2e["class_emb"])
+    )
+
+    gb, gl, gm = _gt_fixture(rng)
+    target = BoxList(torch.from_numpy(gb), (IMG_W, IMG_H))
+    target.add_field("labels", torch.from_numpy(gl))
+    target.add_field(
+        "masks",
+        SegmentationMask(torch.from_numpy(gm), (IMG_W, IMG_H), mode="mask"),
+    )
+    timg = torch.from_numpy(e2e["image"])
+    losses = ref_model(to_image_list([timg], 32), [target])
+    return {k: float(v.detach()) for k, v in losses.items()}
+
+
+def test_training_loss_parity(e2e, train_pair):
+    from cvpr22_cross_modal_pseudo_labeling_tpu.engine.checkpoint import (
+        import_torch_state_dict,
+        load_torch_checkpoint,
+    )
+    from cvpr22_cross_modal_pseudo_labeling_tpu.data.datasets.coco import (
+        rasterize_instance_mask,
+    )
+    from cvpr22_cross_modal_pseudo_labeling_tpu.models.detector import (
+        GeneralizedRCNN,
+        statics_from_cfg,
+    )
+
+    cfg = _train_cfg_overrides(_our_cfg(), False)
+    model = GeneralizedRCNN(statics_from_cfg(cfg))
+    images = jnp.asarray(e2e["image"].transpose(1, 2, 0))[None]
+    image_sizes = jnp.array([[IMG_H, IMG_W]], jnp.int32)
+    class_emb = jnp.asarray(e2e["class_emb"])
+
+    rng = np.random.RandomState(7)
+    gb, gl, gm = _gt_fixture(rng)
+    polys = []
+    for x1, y1, x2, y2 in gb:
+        ix1, iy1 = int(x1) + 3, int(y1) + 2
+        ix2, iy2 = int(x2) - 4, int(y2) - 3
+        polys.append([[ix1, iy1, ix2, iy1, ix2, iy2, ix1, iy2]])
+    local = np.stack(
+        [
+            rasterize_instance_mask(polys[i], gb[i], (IMG_H, IMG_W), 28)
+            for i in range(N_GT)
+        ]
+    )
+    targets = {
+        "gt_boxes": jnp.asarray(gb)[None],
+        "gt_labels": jnp.asarray(gl.astype(np.int32))[None],
+        "gt_valid": jnp.ones((1, N_GT), bool),
+        "gt_masks": jnp.asarray(local.astype(np.float32))[None],
+    }
+
+    params = model.init(
+        {"params": jax.random.PRNGKey(0), "sampler": jax.random.PRNGKey(1)},
+        images,
+        image_sizes,
+        class_emb,
+        targets,
+        train=True,
+    )
+    sd = load_torch_checkpoint(e2e["pth"])
+    new_params, _ = import_torch_state_dict(params["params"], sd)
+    out = model.apply(
+        {"params": new_params},
+        images,
+        image_sizes,
+        class_emb,
+        targets,
+        train=True,
+        rngs={"sampler": jax.random.PRNGKey(2)},
+    )
+
+    ref = train_pair
+    ours = {k: float(v) for k, v in out.losses.items()}
+    assert set(ours) == set(ref), set(ours) ^ set(ref)
+    for k in ref:
+        # loss_mask: the GT-mask representations differ by design (our
+        # box-local 28x28 crops vs the reference's per-proposal CPU
+        # projection of the full-image mask, mask_head/loss.py:11-42);
+        # boundary half-pixel disagreement under saturated random-init
+        # logits moves BCE by a few percent.  The per-pixel agreement of
+        # the two projections is pinned separately by
+        # test_reference_parity.py::test_mask_target_projection_agreement.
+        tol = 0.15 if k == "loss_mask" else 2e-3
+        assert abs(ours[k] - ref[k]) <= tol * max(1.0, abs(ref[k])), (
+            f"{k}: ours {ours[k]:.6f} vs reference {ref[k]:.6f}"
+        )
