@@ -77,41 +77,21 @@ class CocoStyleEvaluator:
     # -- core matching ---------------------------------------------------
 
     def _evaluate_img(self, dts, gts, area_rng, max_det):
-        at0, at1 = area_rng
-        gt_ignore = np.array(
-            [
-                bool(g.get("iscrowd", 0))
-                or not (at0 <= g.get("area", 0) <= at1)
-                for g in gts
-            ],
-            dtype=bool,  # explicit: np.array([]) defaults to float64
-        )
-        order_g = np.argsort(gt_ignore, kind="stable")
-        gts = [gts[i] for i in order_g]
-        gt_ignore = gt_ignore[order_g]
-        iscrowd = [bool(g.get("iscrowd", 0)) for g in gts]
+        """Single (image, category, area, maxDet) evaluation — kept as
+        the reference semantics (and the differential-test surface);
+        `accumulate` uses `_evaluate_img_areas`, which computes the IoU
+        matrix once and matches once per area at the maxDet cap, then
+        column-slices per maxDet (greedy matching is prefix-stable in
+        detection score order, so slicing is exact — pycocotools does
+        the same, cocoeval.py evaluate/accumulate split)."""
+        ai = list(AREA_RANGES.values()).index(tuple(area_rng))
+        return self._evaluate_img_areas(dts, gts, max_det)[ai]
 
-        dts = sorted(dts, key=lambda d: -d["score"])[:max_det]
-        if self.iou_type == "segm":
-            ious = rle_iou_matrix(
-                [d["segmentation"] for d in dts],
-                [g["segmentation"] for g in gts],
-                iscrowd,
-            )
-        else:
-            ious = bbox_iou_xywh(
-                np.asarray([d["bbox"] for d in dts], np.float64).reshape(
-                    -1, 4
-                ),
-                np.asarray([g["bbox"] for g in gts], np.float64).reshape(
-                    -1, 4
-                ),
-                iscrowd,
-            )
-
-        T, D, G = len(IOU_THRS), len(dts), len(gts)
-        dt_match = np.zeros((T, D), np.int64)
-        gt_match = np.zeros((T, G), np.int64)
+    def _match_one(self, ious, gt_ignore, iscrowd):
+        """Greedy score-ordered matching for one IoU-ordered gt set."""
+        T, D, G = len(IOU_THRS), ious.shape[0], ious.shape[1]
+        dt_match = np.zeros((T, D), bool)
+        gt_match = np.zeros((T, G), bool)
         dt_ignore = np.zeros((T, D), bool)
         for ti, t in enumerate(IOU_THRS):
             for di in range(D):
@@ -128,90 +108,181 @@ class CocoStyleEvaluator:
                     m = gi
                 if m == -1:
                     continue
-                dt_match[ti, di] = 1
-                gt_match[ti, m] = 1
+                dt_match[ti, di] = True
+                gt_match[ti, m] = True
                 dt_ignore[ti, di] = gt_ignore[m]
-        # unmatched dts outside the area range are ignored; the
-        # detection's area is the MASK area for segm eval (pycocotools
-        # loadRes computes dt area from the RLE), bbox w*h for bbox eval
+        return dt_match, dt_ignore
+
+    def _evaluate_img_areas(self, dts, gts, max_det):
+        """Evaluates one (image, category) for EVERY area range with a
+        single IoU computation.  Returns a list aligned with
+        AREA_RANGES of (scores, dt_match [T,D], dt_ignore [T,D], n_gt)."""
+        dts = sorted(dts, key=lambda d: -d["score"])[:max_det]
+        iscrowd_raw = [bool(g.get("iscrowd", 0)) for g in gts]
         if self.iou_type == "segm":
+            ious_raw = rle_iou_matrix(
+                [d["segmentation"] for d in dts],
+                [g["segmentation"] for g in gts],
+                iscrowd_raw,
+            )
             dt_areas = np.array(
                 [float(rle_area(d["segmentation"])) for d in dts]
             )
         else:
+            ious_raw = bbox_iou_xywh(
+                np.asarray([d["bbox"] for d in dts], np.float64).reshape(
+                    -1, 4
+                ),
+                np.asarray([g["bbox"] for g in gts], np.float64).reshape(
+                    -1, 4
+                ),
+                iscrowd_raw,
+            )
+            # unmatched dts outside the area range are ignored; the
+            # detection's area is the MASK area for segm eval
+            # (pycocotools loadRes computes dt area from the RLE),
+            # bbox w*h for bbox eval
             dt_areas = np.array(
                 [d["bbox"][2] * d["bbox"][3] for d in dts]
             )
-        out_of_range = (dt_areas < at0) | (dt_areas > at1)
-        dt_ignore |= (~dt_match.astype(bool)) & out_of_range[None, :]
         scores = np.array([d["score"] for d in dts])
-        n_gt = int((~gt_ignore).sum())
-        return scores, dt_match.astype(bool), dt_ignore, n_gt
+        g_areas = np.array([g.get("area", 0) for g in gts])
+        g_crowd = np.array(iscrowd_raw, bool)
+        T, D = len(IOU_THRS), len(dts)
+
+        if not gts:
+            # the common sparse case (detections for a class with no GT
+            # in this image): no matching, ignores purely by area
+            zero = np.zeros((T, D), bool)
+            return [
+                (
+                    scores,
+                    zero,
+                    np.broadcast_to(
+                        (dt_areas < at0) | (dt_areas > at1), (T, D)
+                    ),
+                    0,
+                )
+                for at0, at1 in AREA_RANGES.values()
+            ]
+        if not dts:
+            empty = np.zeros((T, 0), bool)
+            return [
+                (
+                    scores,
+                    empty,
+                    empty,
+                    int(
+                        (
+                            ~(
+                                g_crowd
+                                | ~((g_areas >= a0) & (g_areas <= a1))
+                            )
+                        ).sum()
+                    ),
+                )
+                for a0, a1 in AREA_RANGES.values()
+            ]
+
+        out = []
+        for at0, at1 in AREA_RANGES.values():
+            gt_ignore = g_crowd | ~((g_areas >= at0) & (g_areas <= at1))
+            order_g = np.argsort(gt_ignore, kind="stable")
+            gi_sorted = gt_ignore[order_g]
+            crowd_sorted = [iscrowd_raw[i] for i in order_g]
+            dt_match, dt_ignore = self._match_one(
+                ious_raw[:, order_g] if len(gts) else ious_raw,
+                gi_sorted,
+                crowd_sorted,
+            )
+            oor = (dt_areas < at0) | (dt_areas > at1)
+            dt_ignore = dt_ignore | (~dt_match & oor[None, :])
+            out.append((scores, dt_match, dt_ignore, int((~gt_ignore).sum())))
+        return out
 
     def accumulate(self) -> Dict:
+        """COCOeval accumulate: one IoU computation and A matchings per
+        (image, category), maxDet handled by per-image column slicing
+        (exact — greedy matching is prefix-stable in score order).  The
+        reference's per-(K,A,M) re-evaluation was O(K·A·M·images) with
+        K·I annotation scans; this is O(K_active·A·images_active)."""
         cat_ids = self.coco.get_cat_ids()
-        img_ids = self.coco.get_img_ids()
+        img_ids = set(self.coco.get_img_ids())
         dts_by_img_cat: Dict[Tuple, List[dict]] = {}
         for d in self.detections:
-            dts_by_img_cat.setdefault(
-                (d["image_id"], d["category_id"]), []
-            ).append(d)
+            key = (d["image_id"], d["category_id"])
+            if d["image_id"] in img_ids:
+                dts_by_img_cat.setdefault(key, []).append(d)
+        gts_by_img_cat: Dict[Tuple, List[dict]] = {}
+        imgs_by_cat: Dict[int, set] = {}
+        for img in img_ids:
+            for g in self.coco.load_anns_for_image(img):
+                key = (img, g["category_id"])
+                gts_by_img_cat.setdefault(key, []).append(g)
+                imgs_by_cat.setdefault(g["category_id"], set()).add(img)
+        for img, cat in dts_by_img_cat:
+            imgs_by_cat.setdefault(cat, set()).add(img)
 
         T, R = len(IOU_THRS), len(REC_THRS)
         K, A, M = len(cat_ids), len(AREA_RANGES), len(MAX_DETS)
         precision = -np.ones((T, R, K, A, M))
         recall = -np.ones((T, K, A, M))
+        max_det_cap = max(MAX_DETS)
 
         for ki, cat in enumerate(cat_ids):
-            per_area_results = {a: [] for a in AREA_RANGES}
-            gts_by_img = {}
-            for img in img_ids:
-                gts_by_img[img] = [
-                    g
-                    for g in self.coco.load_anns_for_image(img)
-                    if g["category_id"] == cat
-                ]
-            for ai, (aname, arng) in enumerate(AREA_RANGES.items()):
+            # per area: lists of per-image (scores, match, ignore), npig
+            per_area = [
+                {"scores": [], "tp": [], "ig": [], "npig": 0}
+                for _ in range(A)
+            ]
+            for img in sorted(imgs_by_cat.get(cat, ())):
+                dts = dts_by_img_cat.get((img, cat), [])
+                gts = gts_by_img_cat.get((img, cat), [])
+                results = self._evaluate_img_areas(dts, gts, max_det_cap)
+                for ai, (scores, match, ignore, n_gt) in enumerate(results):
+                    acc = per_area[ai]
+                    acc["scores"].append(scores)
+                    acc["tp"].append(match)
+                    acc["ig"].append(ignore)
+                    acc["npig"] += n_gt
+            for ai in range(A):
+                acc = per_area[ai]
+                npig = acc["npig"]
+                if npig == 0:
+                    continue
                 for mi, max_det in enumerate(MAX_DETS):
-                    all_scores, all_tp, all_ig = [], [], []
-                    npig = 0
-                    for img in img_ids:
-                        gts = gts_by_img[img]
-                        dts = dts_by_img_cat.get((img, cat), [])
-                        if not gts and not dts:
-                            continue
-                        scores, match, ignore, n_gt = self._evaluate_img(
-                            dts, gts, arng, max_det
+                    if acc["scores"]:
+                        scores = np.concatenate(
+                            [s[:max_det] for s in acc["scores"]]
                         )
-                        all_scores.append(scores)
-                        all_tp.append(match)
-                        all_ig.append(ignore)
-                        npig += n_gt
-                    if npig == 0:
-                        continue
-                    if all_scores:
-                        scores = np.concatenate(all_scores)
                         order = np.argsort(-scores, kind="mergesort")
-                        tp = np.concatenate(all_tp, axis=1)[:, order]
-                        ig = np.concatenate(all_ig, axis=1)[:, order]
+                        tp = np.concatenate(
+                            [m[:, :max_det] for m in acc["tp"]], axis=1
+                        )[:, order]
+                        ig = np.concatenate(
+                            [g[:, :max_det] for g in acc["ig"]], axis=1
+                        )[:, order]
                     else:
                         tp = np.zeros((T, 0), bool)
                         ig = np.zeros((T, 0), bool)
                     tps = np.cumsum(tp & ~ig, axis=1).astype(np.float64)
                     fps = np.cumsum(~tp & ~ig, axis=1).astype(np.float64)
+                    n = tps.shape[1]
+                    if n:
+                        recall[:, ki, ai, mi] = tps[:, -1] / npig
+                    else:
+                        recall[:, ki, ai, mi] = 0.0
+                    rc = tps / npig
+                    pr = tps / np.maximum(tps + fps, 1e-10)
+                    # monotone interpolation from the right
+                    pr = np.maximum.accumulate(pr[:, ::-1], axis=1)[:, ::-1]
                     for ti in range(T):
-                        rc = tps[ti] / npig
-                        pr = tps[ti] / np.maximum(tps[ti] + fps[ti], 1e-10)
-                        recall[ti, ki, ai, mi] = rc[-1] if len(rc) else 0.0
-                        # monotone interpolation from the right
-                        pr = pr.tolist()
-                        for i in range(len(pr) - 1, 0, -1):
-                            pr[i - 1] = max(pr[i - 1], pr[i])
-                        inds = np.searchsorted(rc, REC_THRS, side="left")
+                        inds = np.searchsorted(
+                            rc[ti], REC_THRS, side="left"
+                        )
                         q = np.zeros(R)
-                        for ri, pi in enumerate(inds):
-                            if pi < len(pr):
-                                q[ri] = pr[pi]
+                        ok = inds < n
+                        q[ok] = pr[ti][inds[ok]]
                         precision[ti, :, ki, ai, mi] = q
         self._precision = precision
         self._recall = recall
