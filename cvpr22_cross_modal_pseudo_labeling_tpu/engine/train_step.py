@@ -182,12 +182,23 @@ _REPLICATED_BATCH_KEYS = ("class_embeddings", "lvis_class_embeddings")
 
 
 def batch_shardings(example_batch, mesh):
-    """Per-key shardings: global tables (class-embedding matrices)
-    replicated, everything else split on the batch ('data') axis."""
+    """Per-key shardings: batch arrays split on the 'data' axis; the
+    class-embedding tables replicated on a 1-D mesh, or — when the mesh
+    has a 'model' axis (TPU.MESH_AXES=('data','model')) — sharded over
+    it by class row.  GSPMD then computes the open-vocabulary classifier
+    einsum and its softmax vocabulary-parallel (Megatron-style vocab
+    parallelism, derived from the sharding annotation alone), which is
+    the axis that matters at LVIS-1203 x 768 student scale."""
+    import jax.sharding as shd
+
     repl = replicated(mesh)
     data = data_sharded(mesh)
+    if "model" in mesh.axis_names and mesh.shape["model"] > 1:
+        table = shd.NamedSharding(mesh, shd.PartitionSpec("model", None))
+    else:
+        table = repl
     return {
-        k: repl if k in _REPLICATED_BATCH_KEYS else data
+        k: table if k in _REPLICATED_BATCH_KEYS else data
         for k in example_batch
     }
 

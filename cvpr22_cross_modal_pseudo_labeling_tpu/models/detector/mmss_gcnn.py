@@ -148,6 +148,11 @@ class MMSSGridModel(nn.Module):
 
         s = self.statics
         bs = s.backbone
+        dtype = (
+            jnp.bfloat16
+            if bs.compute_dtype == "bfloat16"
+            else jnp.float32
+        )
         self.backbone = ResNetBackbone(
             depth=bs.conv_body[:-3],
             num_stages=4 if bs.conv_body.endswith("-C5") else 3,
@@ -157,6 +162,7 @@ class MMSSGridModel(nn.Module):
             width_per_group=bs.width_per_group,
             stride_in_1x1=bs.stride_in_1x1,
             res5_dilation=bs.res5_dilation,
+            dtype=dtype,
         )
         if s.lb_type == "WordEmbedding" or "TransformerHead" not in s.heads:
             self.language_backbone = WordEmbeddingBackbone(

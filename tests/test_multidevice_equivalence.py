@@ -196,3 +196,48 @@ def test_sharded_eval_identical_to_unsharded(tmp_path):
             union = (ma | mb).sum()
             if union:  # empty == empty is exact agreement
                 assert (ma & mb).sum() / union > 0.99
+
+
+def test_hybrid_data_model_mesh_matches_1dev():
+    """(c) a 2-D data x model mesh — batch on 'data', class-embedding
+    tables vocabulary-sharded on 'model' (train_step.batch_shardings) —
+    gives the same loss as single-device on the same global batch."""
+    cfg = tiny_cfg()
+    model = GeneralizedRCNN(statics_from_cfg(cfg))
+    batch = make_batch(b=4)
+    params = model.init(
+        {"params": jax.random.PRNGKey(0), "sampler": jax.random.PRNGKey(1)},
+        batch["images"][:1],
+        batch["image_sizes"][:1],
+        batch["class_embeddings"],
+        {
+            k: batch[k][:1]
+            for k in ("gt_boxes", "gt_labels", "gt_valid", "gt_masks")
+        },
+        train=True,
+    )
+    tx, _ = make_optimizer(
+        cfg, params["params"], frozen_prefixes_from_cfg(cfg)
+    )
+
+    def run(axes, shape, n):
+        mesh = make_mesh(axes, shape, devices=jax.devices()[:n])
+        state = create_train_state(
+            jax.device_get(params), tx, jax.random.PRNGKey(42)
+        )
+        step = jit_train_step(
+            build_train_step(model, tx, "GeneralizedRCNN"), mesh, batch
+        )
+        traj = []
+        for _ in range(2):
+            state, metrics = step(state, batch)
+            traj.append(
+                (float(metrics["total_loss"]), float(metrics["grad_norm"]))
+            )
+        return traj
+
+    t_hybrid = run(("data", "model"), (4, 2), 8)
+    t_1 = run(("data",), (1,), 1)
+    for (lh, gh), (l1, g1) in zip(t_hybrid, t_1):
+        np.testing.assert_allclose(lh, l1, rtol=2e-5)
+        np.testing.assert_allclose(gh, g1, rtol=2e-4)
