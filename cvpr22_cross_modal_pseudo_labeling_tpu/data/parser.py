@@ -118,3 +118,19 @@ def get_parser() -> LVISParser:
     if _parser is None:
         _parser = LVISParser()
     return _parser
+
+
+def lvis_ids_for_class_names(names: Sequence[str]) -> List[int]:
+    """0-based LVIS category id per dataset class name, -1 when the name
+    isn't in the LVIS vocabulary (incl. the background row).
+
+    This is the device-table key for mixing exemplar embeddings into the
+    DETECTION branch's class embeddings: the reference's combine_embs
+    matches exemplars by noun string against the dataset vocabulary
+    (st_generalized_rcnn.py:164-177, used at :372-376)."""
+    p = get_parser()
+    out = []
+    for name in normalize_class_names(names):
+        key = lemmatize_phrase(name).replace(" - ", "-")
+        out.append(p.look_up.get(key, -1))
+    return out

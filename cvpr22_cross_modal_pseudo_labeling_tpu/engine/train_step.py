@@ -179,6 +179,7 @@ def build_val_loss_step(model, meta_arch: str) -> Callable:
 
 
 _REPLICATED_BATCH_KEYS = ("class_embeddings", "lvis_class_embeddings")
+_ALWAYS_REPLICATED_KEYS = ("class_lvis_ids",)  # small [C] index vector
 
 
 def batch_shardings(example_batch, mesh):
@@ -198,7 +199,11 @@ def batch_shardings(example_batch, mesh):
     else:
         table = repl
     return {
-        k: table if k in _REPLICATED_BATCH_KEYS else data
+        k: (
+            repl
+            if k in _ALWAYS_REPLICATED_KEYS
+            else table if k in _REPLICATED_BATCH_KEYS else data
+        )
         for k in example_batch
     }
 

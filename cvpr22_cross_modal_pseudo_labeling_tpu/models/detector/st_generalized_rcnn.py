@@ -481,7 +481,25 @@ class STGeneralizedRCNN(nn.Module):
         _, _, _, train_proposals = self._rpn_proposals(
             images, image_sizes, feats, train_selector=True
         )
-        student_det_embs = self.combine_embs(class_embeddings)
+        # combine_embs(dataset class names, teacher cls_score) with
+        # exemplar mixing by name (st_generalized_rcnn.py:372-376):
+        # batch["class_lvis_ids"] maps each dataset class row to its
+        # LVIS table slot (-1 = not an LVIS noun, left unmixed)
+        det_lvis_ids = batch.get("class_lvis_ids")
+        if (
+            s.exemplars_enabled
+            and exemplars is not None
+            and det_lvis_ids is not None
+        ):
+            safe = jnp.clip(det_lvis_ids, 0)
+            student_det_embs = self.combine_embs(
+                class_embeddings,
+                exemplar_embs=exemplars["embs"][safe],
+                exemplar_valid=exemplars["valid"][safe]
+                & (det_lvis_ids >= 0),
+            )
+        else:
+            student_det_embs = self.combine_embs(class_embeddings)
         cls_g, box_g, mask_g, _ = self._student_branch_losses(
             feats,
             train_proposals,

@@ -292,3 +292,54 @@ def test_pseudo_boxes_are_teacher_regressed(st_setup):
             assert pb[bi, wi, 0] >= 0 and pb[bi, wi, 1] >= 0
             assert pb[bi, wi, 2] <= w - 1 and pb[bi, wi, 3] <= h - 1
     assert n_checked >= 1
+
+
+def test_det_branch_exemplar_mixing(st_setup):
+    """combine_embs(dataset vocab, exemplars) on the DETECTION branch
+    (reference st_generalized_rcnn.py:372-376): with a valid exemplar
+    slot mapped by class_lvis_ids and a nonzero lambda_exemplar, the
+    GT-branch losses change; with no mapping (-1) they don't."""
+    import copy
+
+    from cvpr22_cross_modal_pseudo_labeling_tpu.models.detector.st_generalized_rcnn import (
+        init_exemplar_table,
+    )
+
+    model, params, images, image_sizes, batch, class_emb, lvis_emb = st_setup
+    model = type(model)(model.statics._replace(exemplars_enabled=True))
+    params = copy.deepcopy(jax.device_get(params))
+    params["params"]["lambda_exemplar"] = np.asarray([0.7], np.float32)
+
+    table = init_exemplar_table(20, 16)
+    rng = np.random.RandomState(3)
+    table = {
+        "embs": jnp.asarray(rng.randn(20, 16), jnp.float32),
+        "quality": jnp.ones((20,), jnp.float32),
+        "valid": jnp.ones((20,), bool),
+    }
+    rngs = {
+        "sampler": jax.random.PRNGKey(7),
+        "uncertainty": jax.random.PRNGKey(8),
+    }
+
+    # the fixture's zero images give identically-zero region features
+    # (uniform logits regardless of embeddings); use a real image
+    live_images = jnp.asarray(
+        np.random.RandomState(5).rand(*images.shape), jnp.float32
+    )
+
+    def run(ids):
+        b = dict(batch)
+        if ids is not None:
+            b["class_lvis_ids"] = jnp.asarray(ids, jnp.int32)
+        out = model.apply(
+            params, live_images, image_sizes, b, class_emb, lvis_emb,
+            train=True, exemplars=table, rngs=rngs,
+        )
+        return float(out.losses["loss_classifier"])
+
+    base = run(None)
+    unmapped = run([-1] * 8)
+    mapped = run([-1, 3, 5, 7, 2, 11, 13, 17])
+    assert unmapped == base, (unmapped, base)
+    assert mapped != base, "exemplar mixing had no effect on det branch"

@@ -161,6 +161,16 @@ def train(cfg, logger):
         extra_batch["lvis_class_embeddings"] = np.zeros(
             (len(lvis_names), cfg.MODEL.ROI_BOX_HEAD.EMB_DIM), np.float32
         )
+        # dataset-class -> LVIS-slot map for det-branch exemplar mixing
+        # (reference combine_embs matches by name, :372-376)
+        if getattr(dataset, "class_names", None):
+            from cvpr22_cross_modal_pseudo_labeling_tpu.data.parser import (
+                lvis_ids_for_class_names,
+            )
+
+            extra_batch["class_lvis_ids"] = np.asarray(
+                lvis_ids_for_class_names(dataset.class_names), np.int32
+            )
         params = jax.jit(
             lambda r, im, sz, b, ce, le: model.init(
                 r, im, sz, b, ce, le, train=True
