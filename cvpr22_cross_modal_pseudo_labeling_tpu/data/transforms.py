@@ -49,10 +49,14 @@ class Resize:
 
     def __call__(self, sample: Dict, rng: random.Random) -> Dict:
         min_size = rng.choice(self.min_sizes)
-        h, w = sample["image"].shape[:2]
+        img = sample["image"]
+        h, w = img.shape[:2]
         nh, nw = get_resize_hw((h, w), min_size, self.max_size)
         if (nh, nw) != (h, w):
-            src_u8 = (sample["image"] * 255).astype(np.uint8)
+            # uint8 is the fast path: images stay uint8 from decode to
+            # Normalize, avoiding two full-image float round-trips
+            was_u8 = img.dtype == np.uint8
+            src_u8 = img if was_u8 else (img * 255).astype(np.uint8)
             from ..utils.native_image import resize_bilinear_native
 
             resized = resize_bilinear_native(src_u8, (nh, nw))
@@ -62,7 +66,9 @@ class Resize:
                         (nw, nh), Image.BILINEAR
                     )
                 )
-            sample["image"] = resized.astype(np.float32) / 255.0
+            sample["image"] = (
+                resized if was_u8 else resized.astype(np.float32) / 255.0
+            )
             sx, sy = nw / w, nh / h
             if len(sample.get("boxes", [])):
                 sample["boxes"] = sample["boxes"] * np.array(
@@ -126,7 +132,13 @@ class ColorJitter:
         self.saturation = saturation
 
     def __call__(self, sample: Dict, rng: random.Random) -> Dict:
+        if not (self.brightness > 0 or self.contrast > 0 or self.saturation > 0):
+            return sample  # shipped configs: all factors 0 -> no-op
         img = sample["image"]
+        was_u8 = img.dtype == np.uint8
+        peak = 255.0 if was_u8 else 1.0
+        if was_u8:
+            img = img.astype(np.float32)
         if self.brightness > 0:
             img = img * rng.uniform(
                 1 - self.brightness, 1 + self.brightness
@@ -141,7 +153,8 @@ class ColorJitter:
             img = gray + (img - gray) * rng.uniform(
                 1 - self.saturation, 1 + self.saturation
             )
-        sample["image"] = np.clip(img, 0.0, 1.0)
+        img = np.clip(img, 0.0, peak)
+        sample["image"] = img.astype(np.uint8) if was_u8 else img
         return sample
 
 
@@ -153,7 +166,13 @@ class Normalize:
 
     def __call__(self, sample: Dict, rng: random.Random) -> Dict:
         img = sample["image"]
-        if self.to_bgr255:
+        if img.dtype == np.uint8:  # fast path: one float conversion
+            img = img.astype(np.float32)
+            if self.to_bgr255:
+                img = img[:, :, ::-1]
+            else:
+                img = img / 255.0
+        elif self.to_bgr255:
             img = img[:, :, ::-1] * 255.0
         sample["image"] = (img - self.mean) / self.std
         return sample

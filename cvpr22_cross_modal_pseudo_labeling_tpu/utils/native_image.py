@@ -99,18 +99,22 @@ def resize_bilinear_native(
 
 
 def load_image_rgb(path: str) -> np.ndarray:
-    """Loads an image as float32 RGB in [0, 1]; native JPEG path with
-    PIL fallback (non-JPEG formats always go through PIL)."""
+    """Loads an image as uint8 RGB; native JPEG path with PIL fallback
+    (non-JPEG formats always go through PIL).
+
+    uint8 end-to-end: the transform chain (Resize/flip/jitter) operates
+    on uint8 and Normalize does the single float conversion — decode ->
+    float round-trips cost two full-image passes per step otherwise."""
     if path.lower().endswith((".jpg", ".jpeg")):
         try:
             with open(path, "rb") as f:
                 data = f.read()
             arr = decode_jpeg_native(data)
             if arr is not None:
-                return arr.astype(np.float32) / 255.0
+                return arr
         except OSError:
             pass
     from PIL import Image
 
     with Image.open(path) as im:
-        return np.asarray(im.convert("RGB"), np.float32) / 255.0
+        return np.asarray(im.convert("RGB"), np.uint8)
