@@ -463,8 +463,14 @@ class STGeneralizedRCNN(nn.Module):
         info["avg_uncertain"] = avg_unc
         if s.uncertainty and s.reweight:
             # adaptive lambda 0.01 / avg_uncertain, detached
-            # (st_generalized_rcnn.py:336-341); mask loss unweighted
-            lam = 0.01 / jax.lax.stop_gradient(avg_unc)
+            # (st_generalized_rcnn.py:336-341); mask loss unweighted.
+            # avg_uncertain is a masked mean: a batch with no valid
+            # pseudo samples gives 0, and 0.01/0 = inf would NaN the
+            # (already-zero) pseudo losses — the reference avoids this
+            # by skipping the branch entirely (dummy-loss trick,
+            # :277-282); masked branches need the explicit guard.
+            safe_unc = jax.lax.stop_gradient(avg_unc)
+            lam = jnp.where(safe_unc > 0, 0.01 / jnp.maximum(safe_unc, 1e-20), 0.0)
             info["adaptive_lamb"] = lam
             losses["loss_classifier_pseudo"] = cls_p * lam
             losses["loss_box_reg_pseudo"] = box_p * lam

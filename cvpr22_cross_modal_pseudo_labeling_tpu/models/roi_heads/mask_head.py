@@ -72,7 +72,11 @@ class MaskPredictor(nn.Module):
             dtype=self.dtype,
             name="uncertain_pred",
         )(jax.lax.stop_gradient(up))
-        scale = jnp.exp(0.5 * scale_logit)  # [N, 2H, 2W, 1]
+        # clamp the log-variance: exp is the identity map the reference
+        # uses (roi_mask_predictors.py:43-48) but unclamped it overflows
+        # to inf under divergence and NaNs the whole step; +-30 is far
+        # outside any healthy sigma and changes nothing numerically
+        scale = jnp.exp(0.5 * jnp.clip(scale_logit, -30.0, 30.0))
 
         if train:
             eps = jax.random.normal(

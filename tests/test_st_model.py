@@ -343,3 +343,24 @@ def test_det_branch_exemplar_mixing(st_setup):
     mapped = run([-1, 3, 5, 7, 2, 11, 13, 17])
     assert unmapped == base, (unmapped, base)
     assert mapped != base, "exemplar mixing had no effect on det branch"
+
+
+def test_no_caption_batch_is_finite(st_setup):
+    """A batch with no caption images (cap_mask all False — common in
+    the Conceptual/OpenImages mixture) must yield finite losses: the
+    adaptive reweight guard turns 0.01/avg_uncertain(=0) into 0 instead
+    of inf * 0 = NaN."""
+    model, params, images, image_sizes, batch, class_emb, lvis_emb = st_setup
+    b = dict(batch)
+    b["cap_mask"] = jnp.zeros_like(batch["cap_mask"])
+    b["cap_word_valid"] = jnp.zeros_like(batch["cap_word_valid"])
+    out = model.apply(
+        params, images, image_sizes, b, class_emb, lvis_emb, train=True,
+        rngs={
+            "sampler": jax.random.PRNGKey(9),
+            "uncertainty": jax.random.PRNGKey(10),
+        },
+    )
+    for k, v in out.losses.items():
+        assert np.isfinite(float(v)), (k, float(v))
+    assert float(out.losses["loss_classifier_pseudo"]) == 0.0
