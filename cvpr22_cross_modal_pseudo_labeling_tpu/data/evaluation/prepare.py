@@ -12,8 +12,7 @@ from typing import Dict, List, Optional
 import numpy as np
 
 from ...core.boxes import TO_REMOVE
-from ...ops.masks import paste_masks_np
-from ...utils.rle import encode_mask
+from ...utils.rle import encode_mask, encode_pasted_mask
 
 
 def detections_to_coco_results(
@@ -42,14 +41,7 @@ def detections_to_coco_results(
     boxes_orig = boxes * np.array([sx, sy, sx, sy], np.float32)
 
     results = []
-    masks = None
-    if mask_probs is not None and len(boxes_orig):
-        masks = paste_masks_np(
-            mask_probs,
-            boxes_orig,
-            (int(oh), int(ow)),
-            threshold=mask_threshold,
-        )
+    masks = mask_probs is not None and len(boxes_orig) > 0
     for i in range(len(boxes_orig)):
         x1, y1, x2, y2 = boxes_orig[i]
         res = {
@@ -65,8 +57,14 @@ def detections_to_coco_results(
             ],
             "score": float(scores[i]),
         }
-        if masks is not None:
-            res["segmentation"] = encode_mask(masks[i])
+        if masks:
+            # fused box-local paste + RLE: O(box area), no H x W canvas
+            res["segmentation"] = encode_pasted_mask(
+                mask_probs[i],
+                boxes_orig[i],
+                (int(oh), int(ow)),
+                threshold=mask_threshold,
+            )
         results.append(res)
     return results
 

@@ -144,6 +144,74 @@ def project_masks_on_boxes(
 # Host-side pasting for eval (numpy; mirrors Masker)
 # ---------------------------------------------------------------------------
 
+def paste_mask_box_local(
+    mask_probs: np.ndarray,
+    box: np.ndarray,
+    image_hw: Tuple[int, int],
+    threshold: float = 0.5,
+    padding: int = 1,
+):
+    """One mask's Masker math (mask_head/inference.py:96-218) WITHOUT
+    the full-image canvas: pad the M x M probs by 1, expand the box by
+    the matching scale, bilinear-resize (align_corners=False) to the
+    (+1 convention) box size, threshold, clip to the image.
+
+    Returns (binarized [h, w] uint8, x0, y0) — the image-frame placement
+    of the clipped crop — or None when the box is fully outside."""
+    im_h, im_w = image_hw
+    m = mask_probs.shape[-1]
+    scale = float(m + 2 * padding) / m
+    mask = np.zeros((m + 2 * padding, m + 2 * padding), np.float32)
+    mask[padding:-padding, padding:-padding] = mask_probs
+
+    box = np.asarray(box, np.float32)
+    w_half = (box[2] - box[0]) * 0.5 * scale
+    h_half = (box[3] - box[1]) * 0.5 * scale
+    x_c = (box[2] + box[0]) * 0.5
+    y_c = (box[3] + box[1]) * 0.5
+    ebox = np.array(
+        [x_c - w_half, y_c - h_half, x_c + w_half, y_c + h_half]
+    ).astype(np.int32)
+
+    w = max(int(ebox[2] - ebox[0] + 1), 1)
+    h = max(int(ebox[3] - ebox[1] + 1), 1)
+
+    try:
+        # cv2 INTER_LINEAR uses the same align_corners=False half-pixel
+        # mapping as F.interpolate; SIMD beats the numpy path ~10x
+        import cv2
+
+        resized = cv2.resize(mask, (w, h), interpolation=cv2.INTER_LINEAR)
+    except ImportError:
+        ys = (np.arange(h) + 0.5) * mask.shape[0] / h - 0.5
+        xs = (np.arange(w) + 0.5) * mask.shape[1] / w - 0.5
+        y0 = np.floor(ys).astype(np.int32)
+        x0 = np.floor(xs).astype(np.int32)
+        ly = (ys - y0).astype(np.float32)
+        lx = (xs - x0).astype(np.float32)
+        y0c, y1c = np.clip(y0, 0, mask.shape[0] - 1), np.clip(
+            y0 + 1, 0, mask.shape[0] - 1
+        )
+        x0c, x1c = np.clip(x0, 0, mask.shape[1] - 1), np.clip(
+            x0 + 1, 0, mask.shape[1] - 1
+        )
+        # separable two-pass: rows [h, M+2] then columns [h, w]
+        rows = mask[y0c] * (1 - ly)[:, None] + mask[y1c] * ly[:, None]
+        resized = rows[:, x0c] * (1 - lx) + rows[:, x1c] * lx
+    binarized = (resized > threshold).astype(np.uint8)
+
+    x_0 = max(int(ebox[0]), 0)
+    x_1 = min(int(ebox[2]) + 1, im_w)
+    y_0 = max(int(ebox[1]), 0)
+    y_1 = min(int(ebox[3]) + 1, im_h)
+    if x_1 <= x_0 or y_1 <= y_0:
+        return None
+    crop = binarized[
+        (y_0 - ebox[1]) : (y_1 - ebox[1]), (x_0 - ebox[0]) : (x_1 - ebox[0])
+    ]
+    return crop, x_0, y_0
+
+
 def paste_masks_np(
     masks: np.ndarray,
     boxes: np.ndarray,
@@ -151,61 +219,20 @@ def paste_masks_np(
     threshold: float = 0.5,
     padding: int = 1,
 ) -> np.ndarray:
-    """Numpy re-derivation of Masker (mask_head/inference.py:96-218):
-    pad the M x M mask by 1, expand the box by the matching scale,
-    bilinear-resize to the (+1 convention) box size, threshold, paste.
+    """Numpy re-derivation of Masker (mask_head/inference.py:96-218).
 
     Args: masks [R, M, M] probabilities; boxes [R, 4] xyxy.
-    Returns [R, H, W] uint8.
+    Returns [R, H, W] uint8.  The eval path should prefer
+    utils.rle.encode_pasted_mask, which skips this canvas entirely.
     """
     im_h, im_w = image_hw
     out = np.zeros((masks.shape[0], im_h, im_w), np.uint8)
-    m = masks.shape[-1]
-    scale = float(m + 2 * padding) / m
     for i in range(masks.shape[0]):
-        mask = np.zeros((m + 2 * padding, m + 2 * padding), np.float32)
-        mask[padding:-padding, padding:-padding] = masks[i]
-
-        box = boxes[i].astype(np.float32)
-        w_half = (box[2] - box[0]) * 0.5 * scale
-        h_half = (box[3] - box[1]) * 0.5 * scale
-        x_c = (box[2] + box[0]) * 0.5
-        y_c = (box[3] + box[1]) * 0.5
-        ebox = np.array(
-            [x_c - w_half, y_c - h_half, x_c + w_half, y_c + h_half]
-        ).astype(np.int32)
-
-        w = max(int(ebox[2] - ebox[0] + 1), 1)
-        h = max(int(ebox[3] - ebox[1] + 1), 1)
-
-        # bilinear resize, align_corners=False (matches F.interpolate)
-        ys = (np.arange(h) + 0.5) * mask.shape[0] / h - 0.5
-        xs = (np.arange(w) + 0.5) * mask.shape[1] / w - 0.5
-        y0 = np.floor(ys).astype(np.int32)
-        x0 = np.floor(xs).astype(np.int32)
-        ly = ys - y0
-        lx = xs - x0
-        y0c, y1c = np.clip(y0, 0, mask.shape[0] - 1), np.clip(
-            y0 + 1, 0, mask.shape[0] - 1
+        res = paste_mask_box_local(
+            masks[i], boxes[i], image_hw, threshold, padding
         )
-        x0c, x1c = np.clip(x0, 0, mask.shape[1] - 1), np.clip(
-            x0 + 1, 0, mask.shape[1] - 1
-        )
-        resized = (
-            (1 - ly)[:, None] * (1 - lx)[None, :] * mask[y0c[:, None], x0c]
-            + (1 - ly)[:, None] * lx[None, :] * mask[y0c[:, None], x1c]
-            + ly[:, None] * (1 - lx)[None, :] * mask[y1c[:, None], x0c]
-            + ly[:, None] * lx[None, :] * mask[y1c[:, None], x1c]
-        )
-        binarized = (resized > threshold).astype(np.uint8)
-
-        x_0 = max(ebox[0], 0)
-        x_1 = min(ebox[2] + 1, im_w)
-        y_0 = max(ebox[1], 0)
-        y_1 = min(ebox[3] + 1, im_h)
-        if x_1 <= x_0 or y_1 <= y_0:
+        if res is None:
             continue
-        out[i, y_0:y_1, x_0:x_1] = binarized[
-            (y_0 - ebox[1]) : (y_1 - ebox[1]), (x_0 - ebox[0]) : (x_1 - ebox[0])
-        ]
+        crop, x_0, y_0 = res
+        out[i, y_0 : y_0 + crop.shape[0], x_0 : x_0 + crop.shape[1]] = crop
     return out

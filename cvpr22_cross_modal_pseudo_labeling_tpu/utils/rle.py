@@ -47,25 +47,36 @@ def counts_to_mask(counts: Sequence[int], h: int, w: int) -> np.ndarray:
 
 
 def compress_counts(counts: Sequence[int]) -> str:
-    """LEB128-style 6-bit compression with delta coding (COCO spec)."""
-    out = []
-    counts = [int(c) for c in counts]
-    for i, c in enumerate(counts):
-        x = c if i < 2 else c - counts[i - 2]
-        more = True
-        while more:
-            chunk = x & 0x1F
-            x >>= 5
-            # sign propagation: if x is -1/0 and the sign bit of chunk
-            # agrees, we are done
-            if chunk & 0x10:
-                more = x != -1
-            else:
-                more = x != 0
-            if more:
-                chunk |= 0x20
-            out.append(chr(chunk + 48))
-    return "".join(out)
+    """LEB128-style 6-bit compression with delta coding (COCO spec).
+
+    Vectorized: 5-bit groups emitted in at most 13 numpy passes over
+    the whole counts array instead of a per-character python loop (the
+    eval hot path encodes ~100 RLEs per image)."""
+    arr = np.asarray(counts, np.int64)
+    n = arr.size
+    if n == 0:
+        return ""
+    x = arr.copy()
+    x[2:] = arr[2:] - arr[:-2]  # delta coding
+    max_groups = 13  # ceil(64 / 5) covers any int64 delta
+    chunks = np.zeros((max_groups, n), np.uint8)
+    emitted = np.zeros((max_groups, n), bool)
+    more = np.ones(n, bool)
+    for g in range(max_groups):
+        if not more.any():
+            break
+        c = (x & 0x1F).astype(np.int64)
+        x = x >> 5
+        done = ((x == 0) & ((c & 0x10) == 0)) | (
+            (x == -1) & ((c & 0x10) != 0)
+        )
+        cont = more & ~done
+        chunks[g] = (c | np.where(cont, 0x20, 0)).astype(np.uint8)
+        emitted[g] = more
+        more = cont
+    # per value, its groups in order: row-major boolean pick on [n, G]
+    data = chunks.T[emitted.T] + 48
+    return data.astype(np.uint8).tobytes().decode("ascii")
 
 
 def decompress_counts(s: Union[str, bytes]) -> List[int]:
@@ -97,6 +108,77 @@ def encode_mask(mask: np.ndarray) -> RLE:
         "size": [int(h), int(w)],
         "counts": compress_counts(mask_to_counts(mask)),
     }
+
+
+def encode_box_mask(
+    crop: np.ndarray, x0: int, y0: int, image_hw
+) -> RLE:
+    """RLE of a full-image mask that is zero outside the box whose
+    clipped crop is ``crop`` placed at (x0, y0) — WITHOUT materializing
+    the H x W canvas.  O(box area) instead of O(image area): at COCO
+    eval scale (100 dets x 800x1333) the canvas paste+encode costs
+    ~2.5 s/image, this path ~10 ms.
+
+    Column-major runs never merge across image columns here because a
+    clipped crop narrower than the image leaves zero gaps between
+    columns; the h == H full-height case is handled by merging."""
+    H, W = int(image_hw[0]), int(image_hw[1])
+    h, w = crop.shape
+    if h == 0 or w == 0 or not crop.any():
+        return {"size": [H, W], "counts": compress_counts([H * W])}
+    # per-column run starts/ends from a zero-padded vertical diff
+    zpad = np.zeros((h + 2, w), np.int8)
+    zpad[1:-1] = crop
+    d = np.diff(zpad, axis=0)  # +1 at run start row, -1 past run end
+    # column-major ordering: transpose so nonzero() yields (col, row)
+    cs, rs = np.nonzero((d == 1).T)
+    ce, re = np.nonzero((d == -1).T)
+    # starts/ends pair up within each column in order
+    starts = (np.int64(x0) + cs) * H + (y0 + rs)
+    lengths = (re - rs).astype(np.int64)
+    # merge runs that touch across columns (only possible when the crop
+    # spans full image height and adjacent-column runs abut)
+    abuts = starts[1:] == starts[:-1] + lengths[:-1]
+    if abuts.any():
+        keep = np.concatenate([[True], ~abuts])
+        group = np.cumsum(keep) - 1
+        merged_len = np.zeros(int(group[-1]) + 1, np.int64)
+        np.add.at(merged_len, group, lengths)
+        starts = starts[keep]
+        lengths = merged_len
+    counts = np.empty(2 * len(starts) + 1, np.int64)
+    counts[0] = starts[0]
+    counts[1::2] = lengths
+    counts[2::2][:-1] = starts[1:] - (starts[:-1] + lengths[:-1])
+    counts[-1] = H * W - (starts[-1] + lengths[-1])
+    if counts[-1] == 0:
+        counts = counts[:-1]
+    return {"size": [H, W], "counts": compress_counts(counts)}
+
+
+def encode_pasted_mask(
+    mask_probs: np.ndarray,
+    box: np.ndarray,
+    image_hw,
+    threshold: float = 0.5,
+    padding: int = 1,
+) -> RLE:
+    """Masker paste + COCO RLE encode fused in box-local space (the
+    eval hot path, reference coco_eval.py:108-146)."""
+    from ..ops.masks import paste_mask_box_local
+
+    res = paste_mask_box_local(
+        np.asarray(mask_probs, np.float32),
+        box,
+        (int(image_hw[0]), int(image_hw[1])),
+        threshold,
+        padding,
+    )
+    H, W = int(image_hw[0]), int(image_hw[1])
+    if res is None:
+        return {"size": [H, W], "counts": compress_counts([H * W])}
+    crop, x0, y0 = res
+    return encode_box_mask(crop, x0, y0, (H, W))
 
 
 def decode_rle(rle: RLE) -> np.ndarray:
