@@ -218,9 +218,18 @@ def rle_iou(dt: RLE, gt: RLE, is_crowd: bool = False) -> float:
 def rle_iou_matrix(
     dts: Sequence[RLE], gts: Sequence[RLE], iscrowd: Sequence[bool]
 ) -> np.ndarray:
-    """[len(dts), len(gts)] IoU matrix (decodes each mask once)."""
+    """[len(dts), len(gts)] IoU matrix.
+
+    Dispatches to the native run-merge kernel (native/maskops.cpp,
+    O(runs) per pair like pycocotools' C core) and falls back to the
+    decode-based numpy path (O(H*W) per pair)."""
     if not dts or not gts:
         return np.zeros((len(dts), len(gts)), np.float64)
+    from .native import native_rle_iou_matrix
+
+    native = native_rle_iou_matrix(dts, gts, iscrowd)
+    if native is not None:
+        return native
     d_masks = [decode_rle(d).astype(bool) for d in dts]
     g_masks = [decode_rle(g).astype(bool) for g in gts]
     d_areas = [m.sum() for m in d_masks]
