@@ -21,6 +21,8 @@ import jax
 import jax.numpy as jnp
 import optax
 
+from ..models.detector import ST_FAMILY
+
 from .lr_schedule import warmup_multistep_schedule
 
 
@@ -134,7 +136,7 @@ def frozen_prefixes_from_cfg(cfg, meta_arch: str = "GeneralizedRCNN"):
         prefixes.append("emb_pred")
     if cfg.MODEL.ROI_BOX_HEAD.FREEZE_FEATURE_EXTRACTOR:
         prefixes.append("roi_extractor")
-    if meta_arch == "STGeneralizedRCNN":
+    if meta_arch in ST_FAMILY:
         # backbone + whole teacher frozen (st_generalized_rcnn.py:59-67)
         prefixes.append("backbone/")
         prefixes.append("teacher/")

@@ -16,6 +16,7 @@ import jax
 import jax.numpy as jnp
 import optax
 
+from ..models.detector import RCNN_FAMILY, ST_FAMILY
 from ..parallel.mesh import data_sharded, replicated
 
 
@@ -77,7 +78,7 @@ def build_loss_fn(model, meta_arch: str, grad_accum: int = 1) -> Callable:
             "mlm": jax.random.fold_in(rng, 3),
             "alignment": jax.random.fold_in(rng, 4),
         }
-        if meta_arch == "GeneralizedRCNN":
+        if meta_arch in RCNN_FAMILY:
             targets = {
                 k: batch[k]
                 for k in ("gt_boxes", "gt_labels", "gt_valid", "gt_masks")
@@ -92,7 +93,7 @@ def build_loss_fn(model, meta_arch: str, grad_accum: int = 1) -> Callable:
                 rngs=rngs,
             )
             losses, info = out.losses, out.info
-        elif meta_arch == "STGeneralizedRCNN":
+        elif meta_arch in ST_FAMILY:
             out = model.apply(
                 params,
                 batch["images"],

@@ -6,6 +6,11 @@ from .generalized_rcnn import (
 )
 from .statics import RCNNStatics, statics_from_cfg
 
+# meta-architecture families: dispatch helpers for engine/CLI code that
+# branches on the training-step shape rather than the exact class
+RCNN_FAMILY = ("GeneralizedRCNN", "SBBaseline", "OMP", "BA_RPN")
+ST_FAMILY = ("STGeneralizedRCNN", "SoftTeacher", "UnbiasedTeacher")
+
 
 def build_detection_model(cfg):
     """Registry dispatch mirroring reference detector/detectors.py:7-16."""
@@ -20,4 +25,25 @@ def build_detection_model(cfg):
         from .mmss_gcnn import MMSSGridModel, mmss_statics_from_cfg
 
         return MMSSGridModel(mmss_statics_from_cfg(cfg))
+    if arch in ("SoftTeacher", "UnbiasedTeacher"):
+        from . import baselines
+        from .st_generalized_rcnn import st_statics_from_cfg
+
+        cls = (
+            baselines.SoftTeacherRCNN
+            if arch == "SoftTeacher"
+            else baselines.UnbiasedTeacherRCNN
+        )
+        return cls(st_statics_from_cfg(cfg))
+    if arch in ("SBBaseline", "OMP", "BA_RPN"):
+        # GeneralizedRCNN skeletons (reference baselines/{SB,OMP,BA_RPN},
+        # unregistered upstream); registered here for completeness
+        from . import baselines
+
+        cls = {
+            "SBBaseline": baselines.SBBaseline,
+            "OMP": baselines.OMPBaseline,
+            "BA_RPN": baselines.BARPNBaseline,
+        }[arch]
+        return cls(statics_from_cfg(cfg))
     raise ValueError(f"Unknown META_ARCHITECTURE {arch}")

@@ -205,6 +205,11 @@ class STGeneralizedRCNN(nn.Module):
         )
         return normalize_rows(mixed)
 
+    def _pseudo_loss_extras(self, pseudo):
+        """Per-variant extras for the pseudo-branch loss; the baseline
+        detectors (models/detector/baselines.py) override this."""
+        return {}
+
     def _rpn_proposals(self, images, image_sizes, feats, train_selector):
         s = self.statics.base
         obj_l, reg_l = self.rpn_head(feats)
@@ -240,6 +245,7 @@ class STGeneralizedRCNN(nn.Module):
         cap_tok_ids,
         cap_tok_mask,
         cap_word_valid,
+        cap_labels=None,
     ):
         """Teacher pseudo-label generation, fully on device.
 
@@ -286,6 +292,12 @@ class STGeneralizedRCNN(nn.Module):
             "scores": scores,
             "embs": pseudo_embs,
             "valid": valid,
+            # per-word pseudo labels: the ids_cap passthrough
+            # (st_generalized_rcnn.py:262); top-k baseline variants
+            # override this with their own selection
+            "labels": cap_labels
+            if cap_labels is not None
+            else jnp.zeros(cap_word_valid.shape, jnp.int32),
         }
         if sb.mask_on:
             x2 = self.teacher.extract(feats, pseudo_boxes)
@@ -316,9 +328,16 @@ class STGeneralizedRCNN(nn.Module):
         image_mask,
         compute_uncertain,
         rng_name,
+        sample_weight_table=None,
+        focal_gamma=None,
     ):
         """One student training branch (pseudo or GT): subsample, box and
-        mask losses, per-image masked."""
+        mask losses, per-image masked.
+
+        sample_weight_table [B, G]: per-target weights inherited by each
+        matched positive roi (soft_teacher loss.py:75-78, background
+        weight 1.0); focal_gamma: focal reweight of the class-weighted
+        CE on this branch (unbiased_teacher loss.py:193-197)."""
         sb = self.statics.base
         # exclude whole images not in this branch from sampling validity
         pvalid = proposals.valid & image_mask[:, None]
@@ -345,12 +364,23 @@ class STGeneralizedRCNN(nn.Module):
         )
         x = self.student.extract(feats, sampled.boxes)
         logits, deltas, _ = self.student.box_outputs(x, class_embeddings)
+        sample_weights = None
+        if sample_weight_table is not None:
+            g = sample_weight_table.shape[1]
+            per_roi = jnp.take_along_axis(
+                sample_weight_table,
+                jnp.clip(sampled.matched_gt, 0, g - 1),
+                axis=1,
+            )
+            sample_weights = jnp.where(sampled.is_pos, per_roi, 1.0)
         cls_loss, box_loss = box_head_loss(
             logits.astype(jnp.float32),
             deltas.astype(jnp.float32),
             sampled,
             bg_weight=sb.bg_weight,
             cls_agnostic_bbox_reg=sb.cls_agnostic_bbox_reg,
+            sample_weights=sample_weights,
+            focal_gamma=focal_gamma,
         )
         mask_loss = jnp.zeros(())
         avg_uncertain = jnp.ones(())
@@ -427,6 +457,7 @@ class STGeneralizedRCNN(nn.Module):
             batch["cap_tok_ids"],
             batch["cap_tok_mask"],
             batch["cap_word_valid"],
+            batch["cap_labels"],
         )
         if s.exemplars_enabled and exemplars is not None:
             flat_valid = (
@@ -434,7 +465,7 @@ class STGeneralizedRCNN(nn.Module):
             ).reshape(-1)
             exemplars = update_exemplar_table(
                 exemplars,
-                batch["cap_labels"].reshape(-1),
+                pseudo["labels"].reshape(-1),
                 pseudo["scores"].reshape(-1),
                 pseudo["embs"].reshape(pseudo["embs"].shape[0] * pseudo["embs"].shape[1], -1),
                 flat_valid,
@@ -451,7 +482,7 @@ class STGeneralizedRCNN(nn.Module):
             feats,
             eval_proposals,
             pseudo["boxes"],
-            batch["cap_labels"],  # 0-based LVIS category ids
+            pseudo["labels"],  # 0-based LVIS category ids
             pseudo["valid"],
             pseudo.get("masks", jnp.zeros((images.shape[0], 1, 1, 1))),
             pseudo["boxes"],
@@ -459,6 +490,7 @@ class STGeneralizedRCNN(nn.Module):
             cap_mask,
             compute_uncertain=s.uncertainty,
             rng_name="sampler",
+            **self._pseudo_loss_extras(pseudo),
         )
         info["avg_uncertain"] = avg_unc
         if s.uncertainty and s.reweight:

@@ -199,12 +199,17 @@ def box_head_loss(
     bg_weight: float = 1.0,
     cls_agnostic_bbox_reg: bool = True,
     sample_weights: Optional[jnp.ndarray] = None,
+    focal_gamma: Optional[float] = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """class_logits [B*S, C], box_deltas [B*S, 4*num_reg].
 
     classification = sum_i w_{y_i} (opt * sample_w_i) CE_i / N_valid;
     box = sum_pos smooth_l1(beta=1) / N_valid — both normalizations use
     labels.numel() == number of valid sampled rois (loss.py:174,170).
+
+    focal_gamma: unbiased_teacher's pseudo-branch reweight
+    (baselines/unbiased_teacher loss.py:193-197): the class-weighted CE
+    is scaled by (1 - e^{-wCE})^gamma with the factor detached.
     """
     labels = sampled.labels.reshape(-1)
     valid = sampled.valid.reshape(-1)
@@ -218,6 +223,10 @@ def box_head_loss(
     )[:, 0]
     class_w = jnp.where(labels == 0, bg_weight, 1.0)
     w = class_w * valid.astype(ce.dtype)
+    if focal_gamma is not None:
+        wce = ce * class_w
+        focal = (1.0 - jnp.exp(-jax.lax.stop_gradient(wce))) ** focal_gamma
+        w = w * focal
     if sample_weights is not None:
         w = w * sample_weights.reshape(-1)
     classification_loss = jnp.sum(ce * w) / n

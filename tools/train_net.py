@@ -99,6 +99,8 @@ def train(cfg, logger):
         do_train,
     )
     from cvpr22_cross_modal_pseudo_labeling_tpu.models.detector import (
+        RCNN_FAMILY,
+        ST_FAMILY,
         build_detection_model,
     )
     from cvpr22_cross_modal_pseudo_labeling_tpu.parallel.mesh import make_mesh
@@ -131,7 +133,7 @@ def train(cfg, logger):
     }
     images = jnp.asarray(example_batch["images"][:1])
     sizes = jnp.asarray(example_batch["image_sizes"][:1])
-    if meta_arch == "GeneralizedRCNN":
+    if meta_arch in RCNN_FAMILY:
         targets = {
             k: jnp.asarray(example_batch[k][:1])
             for k in ("gt_boxes", "gt_labels", "gt_valid", "gt_masks")
@@ -147,7 +149,7 @@ def train(cfg, logger):
             jnp.asarray(extra_batch.get("class_embeddings")),
             targets,
         )
-    elif meta_arch == "STGeneralizedRCNN":
+    elif meta_arch in ST_FAMILY:
         small = {
             k: jnp.asarray(v[:1])
             for k, v in example_batch.items()
@@ -227,7 +229,7 @@ def train(cfg, logger):
             report["matched"], len(report["missed_source_keys"]),
         )
 
-    if meta_arch == "STGeneralizedRCNN" and not cfg.MODEL.RESUME:
+    if meta_arch in ST_FAMILY and not cfg.MODEL.RESUME:
         # prepare_model (reference st_generalized_rcnn.py:191-199): at
         # iteration 0 the student starts from a copy of the teacher
         # roi_heads, unless MODEL.RESUME continues a previous ST run.
@@ -248,7 +250,7 @@ def train(cfg, logger):
 
         save_labels(dataset.class_names, cfg.OUTPUT_DIR)
 
-    if meta_arch == "STGeneralizedRCNN":
+    if meta_arch in ST_FAMILY:
         tokenizer = build_tokenizer(cfg)
         extra_batch["lvis_class_embeddings"] = compute_class_name_embeddings(
             model, params, lvis_names, tokenizer
