@@ -163,6 +163,17 @@ def build_backbone(cfg, dtype=jnp.float32) -> Tuple[nn.Module, dict]:
         meta = dict(
             out_channels=r.BACKBONE_OUT_CHANNELS, strides=(4, 8, 16, 32, 64)
         )
+    elif body == "FBNet":
+        from .fbnet import FBNetTrunk
+
+        f = cfg.MODEL.FBNET
+        mod = FBNetTrunk(
+            arch=f.ARCH,
+            scale_factor=f.SCALE_FACTOR,
+            width_divisor=f.WIDTH_DIVISOR,
+            dtype=dtype,
+        )
+        meta = dict(out_channels=mod.out_channels, strides=(16,))
     else:
         raise ValueError(f"Unknown CONV_BODY {body}")
 

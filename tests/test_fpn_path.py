@@ -109,3 +109,55 @@ def test_alternative_extractors_and_predictors():
 
     unc = pixel_score_uncertainty(jnp.zeros((2, 4, 4, 1)))
     np.testing.assert_allclose(np.asarray(unc), 1.0)  # p=0.5 -> max unc
+
+
+def test_fbnet_backbone_archs():
+    """FBNet trunk (models/fbnet.py): every shipped arch builds and
+    emits a stride-16 single-level feature map with the expected
+    channel count; scale factor rounds via the width divisor."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from cvpr22_cross_modal_pseudo_labeling_tpu.models.fbnet import (
+        MODEL_ARCH,
+        FBNetTrunk,
+    )
+
+    x = jnp.asarray(np.random.RandomState(0).rand(1, 64, 64, 3), jnp.float32)
+    expect = {
+        "default": 96, "xirb16d_dsmask": 128, "mobilenet_v2": 96,
+        "cham_v1a": 88, "cham_v2": 56,
+    }
+    for arch in MODEL_ARCH:
+        m = FBNetTrunk(arch=arch)
+        params = m.init({"params": jax.random.PRNGKey(0)}, x)
+        (y,) = m.apply(params, x)
+        assert y.shape == (1, 4, 4, expect[arch]), (arch, y.shape)
+        assert m.out_channels == expect[arch]
+
+    m = FBNetTrunk(arch="default", scale_factor=0.5, width_divisor=8)
+    params = m.init({"params": jax.random.PRNGKey(0)}, x)
+    (y,) = m.apply(params, x)
+    assert y.shape[-1] == m.out_channels == 48
+
+
+def test_fbnet_via_build_backbone():
+    import jax
+    import jax.numpy as jnp
+
+    from cvpr22_cross_modal_pseudo_labeling_tpu.config import get_default_cfg
+    from cvpr22_cross_modal_pseudo_labeling_tpu.models.backbone import (
+        build_backbone,
+    )
+
+    cfg = get_default_cfg()
+    cfg.MODEL.BACKBONE.CONV_BODY = "FBNet"
+    mod, meta = build_backbone(cfg)
+    assert meta["out_channels"] == 96
+    assert meta["strides"] == (16,)
+    params = mod.init(
+        {"params": jax.random.PRNGKey(0)}, jnp.zeros((1, 32, 32, 3))
+    )
+    (y,) = mod.apply(params, jnp.zeros((1, 32, 32, 3)))
+    assert y.shape == (1, 2, 2, 96)
