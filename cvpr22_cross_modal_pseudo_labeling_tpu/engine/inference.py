@@ -8,6 +8,7 @@ COCO-format dicts, multi-host gathers use process_allgather instead of
 the pickle all_gather (utils/comm.py:48-88), then the evaluator runs.
 """
 
+import os
 import time
 from typing import Dict, List, Optional
 
@@ -78,28 +79,20 @@ def compute_on_dataset(
     else:
         forward = fallback
 
-    results: List[dict] = []
-    timer = Timer()
-    n_images = 0
-    for batch, indices in loader:
-        timer.tic()
-        out = forward(
-            params,
-            jnp.asarray(batch["images"]),
-            jnp.asarray(batch["image_sizes"]),
-        )
-        dets = jax.device_get(out.detections)
-        mask_probs = (
-            jax.device_get(out.mask_probs)
-            if mask_on and out.mask_probs is not None
-            else None
-        )
-        timer.toc()
+    # host COCO conversion (mask paste + RLE encode) runs in a thread
+    # pool so the device computes batch N+1 while batch N converts —
+    # conversion is ~ms-per-detection host work that would otherwise
+    # serialize with the forward (the reference converts after the
+    # whole pass instead, holding every mask tensor in memory)
+    import concurrent.futures as cf
+
+    def convert_batch(dets, mask_probs, indices, image_sizes):
+        out: List[dict] = []
         for bi, ds_index in enumerate(indices):
             if bi >= dets.boxes.shape[0]:
                 break
             info = dataset.get_img_info(ds_index)
-            results.extend(
+            out.extend(
                 detections_to_coco_results(
                     dets.boxes[bi],
                     dets.scores[bi],
@@ -109,14 +102,49 @@ def compute_on_dataset(
                     image_id=dataset.id_to_img_map[ds_index]
                     if hasattr(dataset, "id_to_img_map")
                     else info.get("id", ds_index),
-                    input_hw=batch["image_sizes"][bi],
+                    input_hw=image_sizes[bi],
                     original_hw=(info["height"], info["width"]),
                     contiguous_to_json=getattr(
                         dataset, "contiguous_category_id_to_json_id", {}
                     ),
                 )
             )
-            n_images += 1
+        return out
+
+    futures = []
+    timer = Timer()
+    n_images = 0
+    workers = min(8, os.cpu_count() or 1)
+    with cf.ThreadPoolExecutor(max_workers=workers) as pool:
+        for batch, indices in loader:
+            timer.tic()
+            out = forward(
+                params,
+                jnp.asarray(batch["images"]),
+                jnp.asarray(batch["image_sizes"]),
+            )
+            dets = jax.device_get(out.detections)
+            mask_probs = (
+                jax.device_get(out.mask_probs)
+                if mask_on and out.mask_probs is not None
+                else None
+            )
+            timer.toc()
+            futures.append(
+                pool.submit(
+                    convert_batch,
+                    dets,
+                    mask_probs,
+                    list(indices),
+                    np.asarray(batch["image_sizes"]),
+                )
+            )
+            n_images += sum(
+                1 for bi in range(len(indices)) if bi < dets.boxes.shape[0]
+            )
+        results: List[dict] = []
+        for f in futures:
+            results.extend(f.result())
     if n_images:
         logger.info(
             "inference: %d images, %.4f s/img (device+host)",
