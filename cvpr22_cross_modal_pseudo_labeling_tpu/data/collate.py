@@ -87,6 +87,8 @@ class BatchCollator:
         size_divisible: int = 64,
         tokenizer=None,
         gt_mask_size: int = 28,
+        keypoint_on: bool = False,
+        num_keypoints: int = 17,
     ):
         self.buckets = tuple(tuple(b) for b in buckets)
         self.max_gt = max_gt
@@ -96,12 +98,15 @@ class BatchCollator:
         self.size_divisible = size_divisible
         self.tokenizer = tokenizer or HashingTokenizer()
         self.gt_mask_size = gt_mask_size
+        self.keypoint_on = keypoint_on
+        self.num_keypoints = num_keypoints
 
     @classmethod
     def from_cfg(cls, cfg, tokenizer=None):
         return cls(
             buckets=cfg.TPU.IMAGE_BUCKETS,
             max_gt=cfg.TPU.MAX_GT,
+            keypoint_on=cfg.MODEL.KEYPOINT_ON,
             max_cap_tokens=cfg.TPU.MAX_CAP_TOKENS,
             max_cap_nouns=cfg.TPU.MAX_CAP_NOUNS,
             size_divisible=max(cfg.DATALOADER.SIZE_DIVISIBILITY, 64),
@@ -123,6 +128,11 @@ class BatchCollator:
         gt_labels = np.zeros((b, self.max_gt), np.int32)
         gt_valid = np.zeros((b, self.max_gt), bool)
         gt_masks = np.zeros((b, self.max_gt, m, m), np.float32)
+        gt_keypoints = (
+            np.zeros((b, self.max_gt, self.num_keypoints, 3), np.float32)
+            if self.keypoint_on
+            else None
+        )
         cap_mask = np.zeros((b,), bool)
         det_mask = np.zeros((b,), bool)
         cap_labels = np.zeros((b, self.max_cap_nouns), np.int32)
@@ -148,6 +158,11 @@ class BatchCollator:
                 masks = s.get("gt_masks")
                 if masks is not None and len(masks):
                     gt_masks[i, :n] = masks[:n]
+                if gt_keypoints is not None:
+                    kp = s.get("keypoints")
+                    if kp is not None and len(kp):
+                        kk = min(kp.shape[1], self.num_keypoints)
+                        gt_keypoints[i, :n, :kk] = kp[:n, :kk]
             det_mask[i] = s.get("is_det", "Yes") == "Yes"
             nn_caption = s.get("nn_caption", "")
             cap_mask[i] = nn_caption != ""
@@ -179,6 +194,11 @@ class BatchCollator:
             "gt_labels": gt_labels,
             "gt_valid": gt_valid,
             "gt_masks": gt_masks,
+            **(
+                {"gt_keypoints": gt_keypoints}
+                if gt_keypoints is not None
+                else {}
+            ),
             "cap_mask": cap_mask,
             "det_mask": det_mask,
             "cap_labels": cap_labels,

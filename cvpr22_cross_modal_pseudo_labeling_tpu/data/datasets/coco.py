@@ -186,6 +186,19 @@ class COCODataset:
             np.int64,
         )
         segs = [self._segmentation_for_ann(a) for a in anns]
+        sample_kps = None
+        if anns and any("keypoints" in a for a in anns):
+            nk = max(
+                len(a.get("keypoints", [])) // 3 for a in anns
+            ) or 17
+            sample_kps = np.stack(
+                [
+                    np.asarray(
+                        a.get("keypoints", [0.0] * (3 * nk)), np.float32
+                    ).reshape(-1, 3)
+                    for a in anns
+                ]
+            )
         # clip to image (clip_to_image(remove_empty=True), coco.py:131)
         h, w = image.shape[:2]
         if len(boxes):
@@ -194,6 +207,8 @@ class COCODataset:
             keep = (boxes[:, 2] > boxes[:, 0]) & (boxes[:, 3] > boxes[:, 1])
             boxes, labels = boxes[keep], labels[keep]
             segs = [s for s, k in zip(segs, keep) if k]
+            if sample_kps is not None:
+                sample_kps = sample_kps[keep]
         gt_masks = np.stack(
             [
                 rasterize_instance_mask(
@@ -204,7 +219,7 @@ class COCODataset:
         ) if len(boxes) else np.zeros(
             (0, self.gt_mask_size, self.gt_mask_size), np.float32
         )
-        return {
+        out_sample = {
             "image": image,
             "boxes": boxes.astype(np.float32),
             "labels": labels,
@@ -215,6 +230,9 @@ class COCODataset:
             "nn_caption": "",
             "ids_cap": [],
         }
+        if sample_kps is not None:
+            out_sample["keypoints"] = sample_kps
+        return out_sample
 
     def __getitem__(self, index: int) -> Dict:
         sample = self.raw_sample(index)

@@ -46,6 +46,8 @@ def evaluate(
         if iou_type == "segm":
             attach_gt_segmentations(coco)
             dets = [d for d in detections if "segmentation" in d]
+        elif iou_type == "keypoints":
+            dets = [d for d in detections if "keypoints" in d]
         else:
             dets = detections
         ev = CocoStyleEvaluator(coco, iou_type)

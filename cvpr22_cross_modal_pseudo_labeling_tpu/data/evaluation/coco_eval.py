@@ -27,6 +27,21 @@ AREA_RANGES = {
     "large": (96.0**2, 1e10),
 }
 MAX_DETS = (1, 10, 100)
+# keypoint (OKS) protocol: no "small" range, maxDets [20] (COCOeval
+# setKpParams)
+KP_AREA_RANGES = {
+    "all": (0.0, 1e10),
+    "medium": (32.0**2, 96.0**2),
+    "large": (96.0**2, 1e10),
+}
+KP_MAX_DETS = (20,)
+# per-keypoint falloff constants (COCO person skeleton)
+KP_SIGMAS = np.array(
+    [
+        0.026, 0.025, 0.025, 0.035, 0.035, 0.079, 0.079, 0.072, 0.072,
+        0.062, 0.062, 0.107, 0.107, 0.087, 0.087, 0.089, 0.089,
+    ]
+)
 
 
 def bbox_iou_xywh(dts: np.ndarray, gts: np.ndarray, iscrowd) -> np.ndarray:
@@ -58,6 +73,43 @@ def bbox_iou_xywh(dts: np.ndarray, gts: np.ndarray, iscrowd) -> np.ndarray:
     return inter / np.maximum(union, 1e-10)
 
 
+def oks_matrix(dts, gts, iscrowd, sigmas=None) -> np.ndarray:
+    """Object-keypoint-similarity matrix (pycocotools computeOks
+    semantics, re-implemented from the OKS definition): per visible gt
+    keypoint, exp(-d^2 / (2 s^2 k^2)) with s^2 = gt area and k = 2*sigma,
+    averaged over visible keypoints; gts with no labeled keypoint fall
+    back to distances clamped against the padded gt box."""
+    if sigmas is None:
+        sigmas = KP_SIGMAS
+    D, G = len(dts), len(gts)
+    out = np.zeros((D, G), np.float64)
+    if D == 0 or G == 0:
+        return out
+    vars_ = (sigmas * 2.0) ** 2
+    d_kp = [np.asarray(d["keypoints"], np.float64).reshape(-1, 3) for d in dts]
+    for j, g in enumerate(gts):
+        gkp = np.asarray(g["keypoints"], np.float64).reshape(-1, 3)
+        xg, yg, vg = gkp[:, 0], gkp[:, 1], gkp[:, 2]
+        k1 = int((vg > 0).sum())
+        bb = g.get("bbox", [0.0, 0.0, 0.0, 0.0])
+        x0, x1 = bb[0] - bb[2], bb[0] + 2 * bb[2]
+        y0, y1 = bb[1] - bb[3], bb[1] + 2 * bb[3]
+        area = max(float(g.get("area", 0.0)), 1e-10)
+        for i in range(D):
+            xd, yd = d_kp[i][:, 0], d_kp[i][:, 1]
+            if k1 > 0:
+                dx = xd - xg
+                dy = yd - yg
+            else:
+                dx = np.maximum(0.0, np.maximum(x0 - xd, xd - x1))
+                dy = np.maximum(0.0, np.maximum(y0 - yd, yd - y1))
+            e = (dx**2 + dy**2) / vars_[: len(xd)] / (area + np.spacing(1)) / 2
+            if k1 > 0:
+                e = e[vg > 0]
+            out[i, j] = np.sum(np.exp(-e)) / e.shape[0] if e.shape[0] else 0.0
+    return out
+
+
 class CocoStyleEvaluator:
     """Accumulates per-image detections and computes COCO metrics.
 
@@ -69,6 +121,12 @@ class CocoStyleEvaluator:
     def __init__(self, coco_index, iou_type: str = "bbox"):
         self.coco = coco_index
         self.iou_type = iou_type
+        if iou_type == "keypoints":
+            self.area_ranges = KP_AREA_RANGES
+            self.max_dets = KP_MAX_DETS
+        else:
+            self.area_ranges = AREA_RANGES
+            self.max_dets = MAX_DETS
         self.detections: List[dict] = []
 
     def update(self, detections: Sequence[dict]):
@@ -84,7 +142,7 @@ class CocoStyleEvaluator:
         column-slices per maxDet (greedy matching is prefix-stable in
         detection score order, so slicing is exact — pycocotools does
         the same, cocoeval.py evaluate/accumulate split)."""
-        ai = list(AREA_RANGES.values()).index(tuple(area_rng))
+        ai = list(self.area_ranges.values()).index(tuple(area_rng))
         return self._evaluate_img_areas(dts, gts, max_det)[ai]
 
     def _match_one(self, ious, gt_ignore, iscrowd):
@@ -119,7 +177,20 @@ class CocoStyleEvaluator:
         AREA_RANGES of (scores, dt_match [T,D], dt_ignore [T,D], n_gt)."""
         dts = sorted(dts, key=lambda d: -d["score"])[:max_det]
         iscrowd_raw = [bool(g.get("iscrowd", 0)) for g in gts]
-        if self.iou_type == "segm":
+        if self.iou_type == "keypoints":
+            ious_raw = oks_matrix(dts, gts, iscrowd_raw)
+            # pycocotools loadRes derives dt area from the keypoint
+            # extent for the OKS protocol
+            dt_areas = np.array(
+                [
+                    (lambda k: (k[:, 0].max() - k[:, 0].min())
+                     * (k[:, 1].max() - k[:, 1].min()))(
+                        np.asarray(d["keypoints"], np.float64).reshape(-1, 3)
+                    )
+                    for d in dts
+                ]
+            )
+        elif self.iou_type == "segm":
             ious_raw = rle_iou_matrix(
                 [d["segmentation"] for d in dts],
                 [g["segmentation"] for g in gts],
@@ -163,7 +234,7 @@ class CocoStyleEvaluator:
                     ),
                     0,
                 )
-                for at0, at1 in AREA_RANGES.values()
+                for at0, at1 in self.area_ranges.values()
             ]
         if not dts:
             empty = np.zeros((T, 0), bool)
@@ -181,11 +252,11 @@ class CocoStyleEvaluator:
                         ).sum()
                     ),
                 )
-                for a0, a1 in AREA_RANGES.values()
+                for a0, a1 in self.area_ranges.values()
             ]
 
         out = []
-        for at0, at1 in AREA_RANGES.values():
+        for at0, at1 in self.area_ranges.values():
             gt_ignore = g_crowd | ~((g_areas >= at0) & (g_areas <= at1))
             order_g = np.argsort(gt_ignore, kind="stable")
             gi_sorted = gt_ignore[order_g]
@@ -224,10 +295,10 @@ class CocoStyleEvaluator:
             imgs_by_cat.setdefault(cat, set()).add(img)
 
         T, R = len(IOU_THRS), len(REC_THRS)
-        K, A, M = len(cat_ids), len(AREA_RANGES), len(MAX_DETS)
+        K, A, M = len(cat_ids), len(self.area_ranges), len(self.max_dets)
         precision = -np.ones((T, R, K, A, M))
         recall = -np.ones((T, K, A, M))
-        max_det_cap = max(MAX_DETS)
+        max_det_cap = max(self.max_dets)
 
         for ki, cat in enumerate(cat_ids):
             # per area: lists of per-image (scores, match, ignore), npig
@@ -250,7 +321,7 @@ class CocoStyleEvaluator:
                 npig = acc["npig"]
                 if npig == 0:
                     continue
-                for mi, max_det in enumerate(MAX_DETS):
+                for mi, max_det in enumerate(self.max_dets):
                     if acc["scores"]:
                         scores = np.concatenate(
                             [s[:max_det] for s in acc["scores"]]
@@ -292,8 +363,8 @@ class CocoStyleEvaluator:
     # -- summaries -------------------------------------------------------
 
     def _ap(self, iou_thr=None, area="all", max_det=100) -> float:
-        ai = list(AREA_RANGES).index(area)
-        mi = MAX_DETS.index(max_det)
+        ai = list(self.area_ranges).index(area)
+        mi = self.max_dets.index(max_det)
         p = self._precision[:, :, :, ai, mi]
         if iou_thr is not None:
             ti = int(np.where(np.isclose(IOU_THRS, iou_thr))[0][0])
@@ -302,13 +373,25 @@ class CocoStyleEvaluator:
         return float(valid.mean()) if valid.size else -1.0
 
     def _ar(self, area="all", max_det=100) -> float:
-        ai = list(AREA_RANGES).index(area)
-        mi = MAX_DETS.index(max_det)
+        ai = list(self.area_ranges).index(area)
+        mi = self.max_dets.index(max_det)
         r = self._recall[:, :, ai, mi]
         valid = r[r > -1]
         return float(valid.mean()) if valid.size else -1.0
 
     def summarize(self) -> Dict[str, float]:
+        if self.iou_type == "keypoints":
+            md = self.max_dets[0]
+            return {
+                "AP": self._ap(max_det=md),
+                "AP50": self._ap(iou_thr=0.5, max_det=md),
+                "AP75": self._ap(iou_thr=0.75, max_det=md),
+                "APm": self._ap(area="medium", max_det=md),
+                "APl": self._ap(area="large", max_det=md),
+                "AR@20": self._ar(max_det=md),
+                "ARm": self._ar(area="medium", max_det=md),
+                "ARl": self._ar(area="large", max_det=md),
+            }
         return {
             "AP": self._ap(),
             "AP50": self._ap(iou_thr=0.5),
@@ -327,8 +410,8 @@ class CocoStyleEvaluator:
     def per_class_ap50(self) -> Dict[int, float]:
         """Per-category AP50 (reference coco_eval.py:378-395)."""
         ti = int(np.where(np.isclose(IOU_THRS, 0.5))[0][0])
-        ai = list(AREA_RANGES).index("all")
-        mi = MAX_DETS.index(100)
+        ai = list(self.area_ranges).index("all")
+        mi = self.max_dets.index(self.max_dets[-1])
         out = {}
         for ki, cat in enumerate(self._cat_ids):
             p = self._precision[ti, :, ki, ai, mi]

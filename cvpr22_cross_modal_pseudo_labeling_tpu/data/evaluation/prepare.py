@@ -26,14 +26,21 @@ def detections_to_coco_results(
     original_hw,
     contiguous_to_json: Dict[int, int],
     mask_threshold: float = 0.5,
+    keypoints: Optional[np.ndarray] = None,
 ) -> List[dict]:
-    """One image's padded detections -> list of COCO result dicts."""
+    """One image's padded detections -> list of COCO result dicts.
+
+    ``keypoints`` [D, K, 3] (x, y, score) adds flat COCO keypoint
+    triplets with visibility 1 (prepare_for_coco_keypoint,
+    reference coco_eval.py:165-196)."""
     keep = np.asarray(valid)
     boxes = np.asarray(boxes)[keep]
     scores = np.asarray(scores)[keep]
     labels = np.asarray(labels)[keep]
     if mask_probs is not None:
         mask_probs = np.asarray(mask_probs)[keep]
+    if keypoints is not None:
+        keypoints = np.asarray(keypoints)[keep]
 
     ih, iw = float(input_hw[0]), float(input_hw[1])
     oh, ow = float(original_hw[0]), float(original_hw[1])
@@ -65,6 +72,14 @@ def detections_to_coco_results(
                 (int(oh), int(ow)),
                 threshold=mask_threshold,
             )
+        if keypoints is not None:
+            kp = keypoints[i].astype(np.float64).copy()
+            kp[:, 0] *= sx
+            kp[:, 1] *= sy
+            flat = np.ones((kp.shape[0], 3), np.float64)
+            flat[:, 0] = kp[:, 0]
+            flat[:, 1] = kp[:, 1]
+            res["keypoints"] = [float(v) for v in flat.reshape(-1)]
         results.append(res)
     return results
 

@@ -42,6 +42,11 @@ def get_resize_hw(
     return int(size * h / w), int(size)
 
 
+# COCO person keypoints: left/right pair swap under horizontal flip
+# (reference structures/keypoint.py:98-130 PersonKeypoints.FLIP_INDS)
+PERSON_KP_FLIP_INDS = [0, 2, 1, 4, 3, 6, 5, 8, 7, 10, 9, 12, 11, 14, 13, 16, 15]
+
+
 class Resize:
     def __init__(self, min_sizes: Sequence[int], max_size: int):
         self.min_sizes = tuple(min_sizes)
@@ -74,6 +79,11 @@ class Resize:
                 sample["boxes"] = sample["boxes"] * np.array(
                     [sx, sy, sx, sy], np.float32
                 )
+            if sample.get("keypoints") is not None:
+                kp = sample["keypoints"].copy()
+                kp[..., 0] *= sx
+                kp[..., 1] *= sy
+                sample["keypoints"] = kp
             # box-local gt_masks are invariant under resize
         return sample
 
@@ -97,6 +107,15 @@ class RandomHorizontalFlip:
             ).astype(np.float32)
         if len(sample.get("gt_masks", [])):
             sample["gt_masks"] = sample["gt_masks"][:, :, ::-1].copy()
+        if sample.get("keypoints") is not None:
+            kp = sample["keypoints"]
+            if kp.shape[1] == len(PERSON_KP_FLIP_INDS):
+                kp = kp[:, PERSON_KP_FLIP_INDS]
+            kp = kp.copy()
+            kp[..., 0] = w - kp[..., 0] - TO_REMOVE
+            # COCO convention: invisible keypoints stay at (0, 0)
+            kp[kp[..., 2] == 0] = 0
+            sample["keypoints"] = kp
         return sample
 
 
@@ -119,6 +138,11 @@ class RandomVerticalFlip:
             ).astype(np.float32)
         if len(sample.get("gt_masks", [])):
             sample["gt_masks"] = sample["gt_masks"][:, ::-1, :].copy()
+        if sample.get("keypoints") is not None:
+            kp = sample["keypoints"].copy()
+            kp[..., 1] = h - kp[..., 1] - TO_REMOVE
+            kp[kp[..., 2] == 0] = 0
+            sample["keypoints"] = kp
         return sample
 
 

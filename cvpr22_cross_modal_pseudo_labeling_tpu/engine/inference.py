@@ -86,7 +86,7 @@ def compute_on_dataset(
     # whole pass instead, holding every mask tensor in memory)
     import concurrent.futures as cf
 
-    def convert_batch(dets, mask_probs, indices, image_sizes):
+    def convert_batch(dets, mask_probs, indices, image_sizes, kps=None):
         out: List[dict] = []
         for bi, ds_index in enumerate(indices):
             if bi >= dets.boxes.shape[0]:
@@ -107,6 +107,7 @@ def compute_on_dataset(
                     contiguous_to_json=getattr(
                         dataset, "contiguous_category_id_to_json_id", {}
                     ),
+                    keypoints=kps[bi] if kps is not None else None,
                 )
             )
         return out
@@ -129,6 +130,11 @@ def compute_on_dataset(
                 if mask_on and out.mask_probs is not None
                 else None
             )
+            kps = (
+                jax.device_get(out.keypoints)
+                if getattr(out, "keypoints", None) is not None
+                else None
+            )
             timer.toc()
             futures.append(
                 pool.submit(
@@ -137,6 +143,7 @@ def compute_on_dataset(
                     mask_probs,
                     list(indices),
                     np.asarray(batch["image_sizes"]),
+                    kps,
                 )
             )
             n_images += sum(

@@ -81,7 +81,11 @@ def build_loss_fn(model, meta_arch: str, grad_accum: int = 1) -> Callable:
         if meta_arch in RCNN_FAMILY:
             targets = {
                 k: batch[k]
-                for k in ("gt_boxes", "gt_labels", "gt_valid", "gt_masks")
+                for k in (
+                    "gt_boxes", "gt_labels", "gt_valid", "gt_masks",
+                    "gt_keypoints",
+                )
+                if k in batch
             }
             out = model.apply(
                 params,

@@ -333,3 +333,54 @@ def test_lvis_parser_caption_style_sentences():
     # irregular plurals
     got = names_for("children flying kites near some geese")
     assert {"person", "kite", "goose"} <= got
+
+
+def test_keypoints_through_transforms_and_collate():
+    """Keypoints flow: resize scales, hflip swaps left/right pairs and
+    mirrors x (reference structures/keypoint.py:98-130), collate pads to
+    [B, MAX_GT, K, 3] under MODEL.KEYPOINT_ON."""
+    import random as pyrandom
+
+    from cvpr22_cross_modal_pseudo_labeling_tpu.data.collate import (
+        BatchCollator,
+    )
+    from cvpr22_cross_modal_pseudo_labeling_tpu.data.transforms import (
+        PERSON_KP_FLIP_INDS,
+        RandomHorizontalFlip,
+        Resize,
+    )
+
+    kp = np.zeros((1, 17, 3), np.float32)
+    kp[0, 1] = (10.0, 20.0, 2)  # left_eye
+    kp[0, 2] = (30.0, 20.0, 2)  # right_eye
+    sample = {
+        "image": np.zeros((50, 100, 3), np.uint8),
+        "boxes": np.array([[5.0, 5.0, 45.0, 45.0]], np.float32),
+        "labels": np.array([1]),
+        "gt_masks": np.ones((1, 28, 28), np.float32),
+        "keypoints": kp.copy(),
+    }
+    rng = pyrandom.Random(0)
+
+    out = Resize((100,), 200)(dict(sample), rng)
+    np.testing.assert_allclose(
+        out["keypoints"][0, 1, :2], [20.0, 40.0]
+    )  # 2x scale
+
+    out = RandomHorizontalFlip(prob=1.0)(dict(sample), rng)
+    # left_eye slot now holds the mirrored right_eye
+    np.testing.assert_allclose(out["keypoints"][0, 1, :2], [100 - 30 - 1, 20])
+    np.testing.assert_allclose(out["keypoints"][0, 2, :2], [100 - 10 - 1, 20])
+    assert PERSON_KP_FLIP_INDS[1] == 2
+
+    coll = BatchCollator(
+        buckets=((64, 128),), max_gt=4, keypoint_on=True,
+        size_divisible=64,
+    )
+    sample["image"] = np.zeros((50, 100, 3), np.float32)
+    batch = coll([sample, dict(sample, keypoints=None)])
+    assert batch["gt_keypoints"].shape == (2, 4, 17, 3)
+    np.testing.assert_allclose(
+        batch["gt_keypoints"][0, 0, 1, :2], [10.0, 20.0]
+    )
+    assert batch["gt_keypoints"][1].sum() == 0

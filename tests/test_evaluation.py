@@ -189,3 +189,103 @@ def test_detections_to_coco_results_scaling():
     )
     assert out[0]["category_id"] == 17
     np.testing.assert_allclose(out[0]["bbox"], [20, 20, 79, 79])
+
+
+# ---------------------------------------------------------------------------
+# Keypoint (OKS) evaluation — reference coco_eval.py:49-51,165-196
+# ---------------------------------------------------------------------------
+
+def _kp_flat(points, vis=2):
+    out = []
+    for x, y in points:
+        out += [float(x), float(y), vis]
+    return out
+
+
+def test_oks_matrix_basics():
+    from cvpr22_cross_modal_pseudo_labeling_tpu.data.evaluation.coco_eval import (
+        oks_matrix,
+    )
+
+    pts = [(10 + 3 * i, 20 + 2 * i) for i in range(17)]
+    gt = {
+        "keypoints": _kp_flat(pts),
+        "bbox": [5.0, 15.0, 60.0, 45.0],
+        "area": 2700.0,
+    }
+    exact = {"keypoints": _kp_flat(pts), "score": 0.9}
+    off = {
+        "keypoints": _kp_flat([(x + 40, y + 40) for x, y in pts]),
+        "score": 0.8,
+    }
+    m = oks_matrix([exact, off], [gt], [False])
+    assert m[0, 0] > 0.999
+    assert m[1, 0] < 0.3
+    # no-visible-keypoint gt: box-clamped distances (computeOks k1==0)
+    gt0 = dict(gt, keypoints=_kp_flat(pts, vis=0))
+    m0 = oks_matrix([exact], [gt0], [False])
+    assert m0[0, 0] > 0.999  # inside the padded box -> zero distance
+
+
+def test_keypoint_evaluator_protocol(tmp_path):
+    pts = [(10 + 3 * i, 20 + 2 * i) for i in range(17)]
+    gts = [
+        {
+            "image_id": 1,
+            "category_id": 1,
+            "bbox": [5.0, 15.0, 60.0, 45.0],
+            "keypoints": _kp_flat(pts),
+            "num_keypoints": 17,
+        }
+    ]
+    idx = make_index(tmp_path, gts)
+    ev = CocoStyleEvaluator(idx, "keypoints")
+    ev.update(
+        [
+            {
+                "image_id": 1,
+                "category_id": 1,
+                "bbox": [5.0, 15.0, 60.0, 45.0],
+                "score": 0.9,
+                "keypoints": _kp_flat(pts, vis=1),
+            }
+        ]
+    )
+    ev.accumulate()
+    s = ev.summarize()
+    assert s["AP"] == 1.0 and s["AR@20"] == 1.0
+    assert "APs" not in s  # kp protocol has no small range
+
+    # badly-off predictions score 0
+    ev2 = CocoStyleEvaluator(idx, "keypoints")
+    ev2.update(
+        [
+            {
+                "image_id": 1,
+                "category_id": 1,
+                "bbox": [5.0, 15.0, 60.0, 45.0],
+                "score": 0.9,
+                "keypoints": _kp_flat([(x + 90, y + 90) for x, y in pts]),
+            }
+        ]
+    )
+    ev2.accumulate()
+    assert ev2.summarize()["AP"] == 0.0
+
+
+def test_detections_to_coco_results_keypoints():
+    res = detections_to_coco_results(
+        boxes=np.array([[10.0, 10.0, 50.0, 50.0]]),
+        scores=np.array([0.9]),
+        labels=np.array([1]),
+        valid=np.array([True]),
+        mask_probs=None,
+        image_id=7,
+        input_hw=(50, 50),
+        original_hw=(100, 100),  # 2x upscale back to original
+        contiguous_to_json={1: 1},
+        keypoints=np.array([[[10.0, 20.0, 0.7]] * 17]),
+    )
+    kp = res[0]["keypoints"]
+    assert len(kp) == 17 * 3
+    assert kp[0] == 20.0 and kp[1] == 40.0 and kp[2] == 1.0

@@ -92,7 +92,11 @@ def main():
         params = {"params": jax.tree_util.tree_map(jnp.asarray, new_params)}
         logger.info("imported %d torch tensors", report["matched"])
 
-    iou_types = ("bbox",) + (("segm",) if cfg.MODEL.MASK_ON else ())
+    iou_types = (
+        ("bbox",)
+        + (("segm",) if cfg.MODEL.MASK_ON else ())
+        + (("keypoints",) if cfg.MODEL.KEYPOINT_ON else ())
+    )
     bbox_aug = None
     if cfg.TEST.BBOX_AUG.ENABLED:
         bbox_aug = {

@@ -134,9 +134,11 @@ def train(cfg, logger):
     images = jnp.asarray(example_batch["images"][:1])
     sizes = jnp.asarray(example_batch["image_sizes"][:1])
     if meta_arch in RCNN_FAMILY:
+        target_keys = ["gt_boxes", "gt_labels", "gt_valid", "gt_masks"]
+        if "gt_keypoints" in example_batch:
+            target_keys.append("gt_keypoints")
         targets = {
-            k: jnp.asarray(example_batch[k][:1])
-            for k in ("gt_boxes", "gt_labels", "gt_valid", "gt_masks")
+            k: jnp.asarray(example_batch[k][:1]) for k in target_keys
         }
         # jit the init: eager init dispatches thousands of ops through
         # the device tunnel (minutes); jitted it is one program
