@@ -15,6 +15,29 @@ ST_FAMILY = ("STGeneralizedRCNN", "SoftTeacher", "UnbiasedTeacher")
 def build_detection_model(cfg):
     """Registry dispatch mirroring reference detector/detectors.py:7-16."""
     arch = cfg.MODEL.META_ARCHITECTURE
+    if arch == "GeneralizedRCNN" and cfg.MODEL.RETINANET_ON:
+        # reference: RETINANET_ON swaps the rpn inside GeneralizedRCNN
+        # (rpn.py:204-205); here it selects the standalone detector
+        from ..rpn.retinanet import retinanet_statics_from_cfg
+        from .retinanet import RetinaNetDetector
+
+        import jax.numpy as jnp
+
+        depth = cfg.MODEL.BACKBONE.CONV_BODY
+        for suffix in ("-FPN-RETINANET", "-FPN", "-C5", "-C4"):
+            if depth.endswith(suffix):
+                depth = depth[: -len(suffix)]
+                break
+        dtype = (
+            jnp.bfloat16
+            if cfg.TPU.COMPUTE_DTYPE == "bfloat16"
+            else jnp.float32
+        )
+        return RetinaNetDetector(
+            retinanet_statics_from_cfg(cfg),
+            backbone_depth=depth,
+            dtype=dtype,
+        )
     if arch == "GeneralizedRCNN":
         return GeneralizedRCNN(statics_from_cfg(cfg))
     if arch == "STGeneralizedRCNN":

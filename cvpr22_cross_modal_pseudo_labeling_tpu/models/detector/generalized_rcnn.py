@@ -305,8 +305,22 @@ class GeneralizedRCNN(nn.Module):
             )
             from ..roi_heads.wsddn_head import wsddn_loss
 
+            image_labels = targets.get("image_labels")
+            if image_labels is None:
+                # derive the multi-hot image-level labels from instance
+                # GT (the weakly-supervised protocol only assumes which
+                # classes appear, reference wsddn docstring "image-level
+                # labels in weakly supervised settings")
+                c = image_scores.shape[-1]
+                oh = (
+                    jax.nn.one_hot(
+                        jnp.clip(targets["gt_labels"] - 1, 0, c - 1), c
+                    )
+                    * targets["gt_valid"][..., None]
+                )
+                image_labels = jnp.max(oh, axis=1)
             losses["loss_classifier"] = wsddn_loss(
-                image_scores, targets["image_labels"].astype(jnp.float32)
+                image_scores, image_labels.astype(jnp.float32)
             )
             return RCNNTrainOutput(losses, info)
 
