@@ -35,6 +35,8 @@ from .transforms import build_transforms
 
 DATASET_CLASSES = {
     "COCODataset": COCODataset,
+    "PascalVOCDataset": None,  # lazy: resolved below
+    "CityScapesDataset": None,
     "COCOCapDetDataset": COCOCapDetDataset,
     "COCOCaptionsDataset": COCOCaptionsDataset,
     "ConCapDetDataset": ConCapDetDataset,
@@ -56,10 +58,26 @@ def build_dataset(cfg, dataset_names, transforms, is_train: bool):
             det = instantiate(args.pop("det_name"))
             cap = instantiate(args.pop("cap_name"))
             return ConceptualOpenImagesDetDataset(det, cap)
-        factory = DATASET_CLASSES[factory_name]
+        factory = DATASET_CLASSES.get(factory_name)
+        if factory is None:
+            if factory_name == "PascalVOCDataset":
+                from .datasets.voc import PascalVOCDataset as factory
+            elif factory_name == "CityScapesDataset":
+                from .datasets.cityscapes import CityScapesDataset as factory
+            else:
+                raise KeyError(factory_name)
         args["transforms"] = transforms
         args["extra_args"] = dict(cfg.DATASETS.DATASET_ARGS)
-        args.setdefault("remove_images_without_annotations", is_train)
+        # VOC/Cityscapes constructors have no empty-image filter
+        # (mirrors the reference's per-factory arg plumbing,
+        # data/build.py:38-52)
+        import inspect
+
+        if (
+            "remove_images_without_annotations"
+            in inspect.signature(factory.__init__).parameters
+        ):
+            args.setdefault("remove_images_without_annotations", is_train)
         return factory(**args)
 
     datasets = [instantiate(name) for name in dataset_names]

@@ -133,6 +133,12 @@ class CityScapesDataset:
             sample = self._transforms(sample, rng)
         return sample
 
+    @property
+    def coco(self):
+        if getattr(self, "_coco_index", None) is None:
+            self._coco_index = self.to_coco_index()
+        return self._coco_index
+
     def to_coco_index(self):
         """COCO-format view for the evaluator (abs_to_coco.py
         equivalent)."""

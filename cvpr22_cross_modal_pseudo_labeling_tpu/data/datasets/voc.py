@@ -40,15 +40,84 @@ class PascalVOCDataset:
         )
         with open(split_file) as f:
             self.ids = [line.strip() for line in f if line.strip()]
-        self.id_to_img_map = dict(enumerate(self.ids))
+        # integer ids for the eval stack (VOC ids are strings); the
+        # string id is only a path component
+        self.id_to_img_map = {i: i for i in range(len(self.ids))}
         self.class_to_ind = {c: i for i, c in enumerate(VOC_CLASSES)}
         self.class_names = list(VOC_CLASSES)
         self.categories = {
             i: c for i, c in enumerate(VOC_CLASSES) if i > 0
         }
 
+    eval_protocol = "voc"  # reference: voc datasets use the VOC metric
+
     def __len__(self):
         return len(self.ids)
+
+    @property
+    def coco(self):
+        """CocoIndex view for the eval stack: integer image ids,
+        difficult objects as iscrowd (the VOC 'ignore' semantics the
+        evaluator consumes, voc_eval.py)."""
+        if getattr(self, "_coco_index", None) is None:
+            self._coco_index = self._build_coco_index()
+        return self._coco_index
+
+    def _build_coco_index(self):
+        from collections import defaultdict
+
+        from ..coco_index import CocoIndex
+
+        images, annotations = [], []
+        aid = 1
+        for idx, img_id in enumerate(self.ids):
+            info = self.get_img_info(idx)
+            images.append(
+                {
+                    "id": idx,
+                    "file_name": f"{img_id}.jpg",
+                    "height": info["height"],
+                    "width": info["width"],
+                }
+            )
+            tree = ET.parse(
+                os.path.join(self._ann_dir, f"{img_id}.xml")
+            )
+            for obj in tree.findall("object"):
+                name = obj.findtext("name", "").lower().strip()
+                bb = obj.find("bndbox")
+                x1 = float(bb.findtext("xmin")) - 1
+                y1 = float(bb.findtext("ymin")) - 1
+                x2 = float(bb.findtext("xmax")) - 1
+                y2 = float(bb.findtext("ymax")) - 1
+                annotations.append(
+                    {
+                        "id": aid,
+                        "image_id": idx,
+                        "category_id": self.class_to_ind.get(name, 0),
+                        "bbox": [x1, y1, x2 - x1 + 1, y2 - y1 + 1],
+                        "area": (x2 - x1 + 1) * (y2 - y1 + 1),
+                        "iscrowd": int(
+                            int(obj.findtext("difficult", "0")) == 1
+                        ),
+                    }
+                )
+                aid += 1
+        index = CocoIndex.__new__(CocoIndex)
+        index.dataset = {
+            "images": images,
+            "annotations": annotations,
+            "categories": [
+                {"id": i, "name": n} for i, n in self.categories.items()
+            ],
+        }
+        index.imgs = {im["id"]: im for im in images}
+        index.anns = {a["id"]: a for a in annotations}
+        index.cats = {c["id"]: c for c in index.dataset["categories"]}
+        index.img_to_anns = defaultdict(list)
+        for a in annotations:
+            index.img_to_anns[a["image_id"]].append(a)
+        return index
 
     def _parse_annotation(self, img_id: str):
         tree = ET.parse(os.path.join(self._ann_dir, f"{img_id}.xml"))
@@ -76,7 +145,7 @@ class PascalVOCDataset:
         )
 
     def get_img_info(self, index: int) -> dict:
-        img_id = self.id_to_img_map[index]
+        img_id = self.ids[index]
         tree = ET.parse(os.path.join(self._ann_dir, f"{img_id}.xml"))
         size = tree.find("size")
         return {
@@ -87,7 +156,7 @@ class PascalVOCDataset:
         }
 
     def __getitem__(self, index: int) -> Dict:
-        img_id = self.id_to_img_map[index]
+        img_id = self.ids[index]
         with Image.open(
             os.path.join(self._img_dir, f"{img_id}.jpg")
         ) as im:

@@ -35,8 +35,27 @@ def evaluate(
     expected_results_sigma_tol: float = 4.0,
 ) -> Dict[str, float]:
     """Runs the COCO-style evaluation for the given dataset + COCO-format
-    detections. Returns a flat metric dict including per-split AP50."""
+    detections. Returns a flat metric dict including per-split AP50.
+
+    Datasets marked ``eval_protocol = "voc"`` (PascalVOCDataset) use the
+    VOC metric instead (reference evaluation/__init__.py:8-32 dispatch
+    by dataset type)."""
     coco = dataset.coco
+    if getattr(dataset, "eval_protocol", "coco") == "voc":
+        from .voc_eval import eval_detection_voc
+
+        results = {}
+        for tag, use07 in (("", False), ("_07metric", True)):
+            out = eval_detection_voc(
+                detections, coco, use_07_metric=use07
+            )
+            for k, v in out.items():
+                results[f"bbox/{k}{tag}"] = v
+        failures = check_expected_results(
+            results, expected_results, expected_results_sigma_tol
+        )
+        results["expected_results_failures"] = len(failures)
+        return results
     imagelevel = getattr(dataset, "imagelevel", None)
     if imagelevel:
         detections = filter_predictions_imagelevel(detections, imagelevel)

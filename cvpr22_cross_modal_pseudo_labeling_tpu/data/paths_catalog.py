@@ -88,6 +88,49 @@ class DatasetCatalog:
                 root="conceptual/images",
             ),
         },
+        # --- Pascal VOC / Cityscapes (reference paths_catalog.py:95-149) ---
+        "voc_2007_train": {
+            "factory": "PascalVOCDataset",
+            "args": dict(data_dir="voc/VOC2007", split="train"),
+        },
+        "voc_2007_val": {
+            "factory": "PascalVOCDataset",
+            "args": dict(data_dir="voc/VOC2007", split="val"),
+        },
+        "voc_2007_test": {
+            "factory": "PascalVOCDataset",
+            "args": dict(data_dir="voc/VOC2007", split="test"),
+        },
+        "voc_2007_train_cocostyle": {
+            "factory": "COCODataset",
+            "args": dict(
+                ann_file="voc/VOC2007/Annotations/pascal_train2007.json",
+                root="voc/VOC2007/JPEGImages",
+            ),
+        },
+        "voc_2007_val_cocostyle": {
+            "factory": "COCODataset",
+            "args": dict(
+                ann_file="voc/VOC2007/Annotations/pascal_val2007.json",
+                root="voc/VOC2007/JPEGImages",
+            ),
+        },
+        "cityscapes_fine_instanceonly_seg_train_cocostyle": {
+            "factory": "COCODataset",
+            "args": dict(
+                ann_file="cityscapes/annotations/"
+                "instancesonly_filtered_gtFine_train.json",
+                root="cityscapes/images",
+            ),
+        },
+        "cityscapes_fine_instanceonly_seg_val_cocostyle": {
+            "factory": "COCODataset",
+            "args": dict(
+                ann_file="cityscapes/annotations/"
+                "instancesonly_filtered_gtFine_val.json",
+                root="cityscapes/images",
+            ),
+        },
         # mixture dataset built from two catalog entries
         "conceptual_openimages_train": {
             "factory": "ConceptualOpenImagesDetDataset",
@@ -105,7 +148,7 @@ class DatasetCatalog:
         entry = DatasetCatalog.DATASETS[name]
         args = dict(entry["args"])
         for key in ("ann_file", "root", "cap_ann_file", "index_file",
-                    "imagelevel_csv"):
+                    "imagelevel_csv", "data_dir"):
             if key in args and not os.path.isabs(args[key]):
                 args[key] = os.path.join(DATA_DIR, args[key])
         return {"factory": entry["factory"], "args": args}

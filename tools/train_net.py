@@ -148,7 +148,11 @@ def train(cfg, logger):
             )
         )(
             rngs, images, sizes,
-            jnp.asarray(extra_batch.get("class_embeddings")),
+            (
+                jnp.asarray(extra_batch["class_embeddings"])
+                if extra_batch.get("class_embeddings") is not None
+                else None
+            ),
             targets,
         )
     elif meta_arch in ST_FAMILY:
