@@ -192,6 +192,7 @@ def make_data_loader(
             rank=rank,
             shuffle=shuffle,
             repeat_factors=repeat if is_train else None,
+            pad=is_train,
         )
         if cfg.DATALOADER.ASPECT_RATIO_GROUPING and is_train:
             groups = compute_aspect_ratio_groups(ds)

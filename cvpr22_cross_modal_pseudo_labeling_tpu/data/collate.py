@@ -107,6 +107,7 @@ class BatchCollator:
             buckets=cfg.TPU.IMAGE_BUCKETS,
             max_gt=cfg.TPU.MAX_GT,
             keypoint_on=cfg.MODEL.KEYPOINT_ON,
+            num_keypoints=cfg.MODEL.ROI_KEYPOINT_HEAD.NUM_CLASSES,
             max_cap_tokens=cfg.TPU.MAX_CAP_TOKENS,
             max_cap_nouns=cfg.TPU.MAX_CAP_NOUNS,
             size_divisible=max(cfg.DATALOADER.SIZE_DIVISIBILITY, 64),

@@ -187,18 +187,21 @@ class COCODataset:
         )
         segs = [self._segmentation_for_ann(a) for a in anns]
         sample_kps = None
-        if anns and any("keypoints" in a for a in anns):
+        if anns and any(a.get("keypoints") for a in anns):
             nk = max(
-                len(a.get("keypoints", [])) // 3 for a in anns
+                len(a.get("keypoints") or []) // 3 for a in anns
             ) or 17
-            sample_kps = np.stack(
-                [
-                    np.asarray(
-                        a.get("keypoints", [0.0] * (3 * nk)), np.float32
-                    ).reshape(-1, 3)
-                    for a in anns
-                ]
-            )
+            rows = []
+            for a in anns:
+                kp = np.asarray(
+                    a.get("keypoints") or [], np.float32
+                ).reshape(-1, 3)
+                if kp.shape[0] < nk:  # empty or shorter skeleton
+                    kp = np.concatenate(
+                        [kp, np.zeros((nk - kp.shape[0], 3), np.float32)]
+                    )
+                rows.append(kp[:nk])
+            sample_kps = np.stack(rows)
         # clip to image (clip_to_image(remove_empty=True), coco.py:131)
         h, w = image.shape[:2]
         if len(boxes):

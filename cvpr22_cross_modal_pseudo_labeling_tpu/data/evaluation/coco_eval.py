@@ -87,8 +87,15 @@ def oks_matrix(dts, gts, iscrowd, sigmas=None) -> np.ndarray:
         return out
     vars_ = (sigmas * 2.0) ** 2
     d_kp = [np.asarray(d["keypoints"], np.float64).reshape(-1, 3) for d in dts]
+    nk = d_kp[0].shape[0] if d_kp else len(sigmas)
     for j, g in enumerate(gts):
-        gkp = np.asarray(g["keypoints"], np.float64).reshape(-1, 3)
+        gkp = np.asarray(
+            g.get("keypoints", [0.0] * (3 * nk)), np.float64
+        ).reshape(-1, 3)
+        if gkp.shape[0] < nk:  # instances-style or short annotation
+            gkp = np.concatenate(
+                [gkp, np.zeros((nk - gkp.shape[0], 3))], axis=0
+            )
         xg, yg, vg = gkp[:, 0], gkp[:, 1], gkp[:, 2]
         k1 = int((vg > 0).sum())
         bb = g.get("bbox", [0.0, 0.0, 0.0, 0.0])
@@ -255,6 +262,26 @@ class CocoStyleEvaluator:
                 for a0, a1 in self.area_ranges.values()
             ]
 
+        if self.iou_type == "keypoints":
+            # pycocotools _prepare: gts with no labeled keypoint are
+            # ignored for the OKS protocol
+            g_crowd = g_crowd | np.array(
+                [
+                    int(
+                        g.get(
+                            "num_keypoints",
+                            sum(
+                                1
+                                for v in (g.get("keypoints") or [])[2::3]
+                                if v > 0
+                            ),
+                        )
+                    )
+                    == 0
+                    for g in gts
+                ],
+                bool,
+            )
         out = []
         for at0, at1 in self.area_ranges.values():
             gt_ignore = g_crowd | ~((g_areas >= at0) & (g_areas <= at1))

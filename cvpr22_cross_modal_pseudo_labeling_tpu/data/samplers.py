@@ -26,6 +26,7 @@ class DistributedSampler:
         shuffle: bool = True,
         seed: int = 0,
         repeat_factors: Optional[np.ndarray] = None,
+        pad: bool = True,
     ):
         self.dataset_len = dataset_len
         self.num_replicas = num_replicas
@@ -34,6 +35,10 @@ class DistributedSampler:
         self.seed = seed
         self.epoch = 0
         self.repeat_factors = repeat_factors
+        # pad=False: exact rank::num_replicas striping with ragged
+        # shards — required for eval, where padding duplicates boundary
+        # images and a prediction gather would double-count them
+        self.pad = pad
 
     def set_epoch(self, epoch: int):
         self.epoch = epoch
@@ -56,6 +61,8 @@ class DistributedSampler:
 
     def __iter__(self) -> Iterator[int]:
         idx = self._epoch_indices()
+        if not self.pad:
+            return iter(idx[self.rank :: self.num_replicas].tolist())
         total = int(
             math.ceil(len(idx) / self.num_replicas) * self.num_replicas
         )

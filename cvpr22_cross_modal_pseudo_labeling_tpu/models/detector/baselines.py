@@ -30,9 +30,6 @@ from typing import Any, Dict
 import jax
 import jax.numpy as jnp
 
-from ...core.box_coder import decode_boxes
-from ...core.boxes import clip_to_image
-from ..roi_heads.mask_head import mask_head_inference
 from .generalized_rcnn import GeneralizedRCNN
 from .st_generalized_rcnn import STGeneralizedRCNN
 
@@ -54,18 +51,9 @@ class _TopKTeacherRCNN(STGeneralizedRCNN):
     ):
         sb = self.statics.base
         b, p = proposals.boxes.shape[:2]
-
-        x = self.teacher.extract(feats, proposals.boxes)
-        _, deltas, emb = self.teacher.box_outputs(
-            x, jnp.zeros((1, sb.emb_dim), jnp.float32)
+        emb, reg_boxes, region_scores = self._teacher_region_scores(
+            feats, proposals, image_sizes, cap_tok_ids, cap_tok_mask
         )
-        emb = emb.astype(jnp.float32).reshape(b, p, -1)
-        deltas = deltas.astype(jnp.float32).reshape(b, p, -1)[..., -4:]
-        reg_boxes = decode_boxes(deltas, proposals.boxes, sb.reg_weights)
-        reg_boxes = clip_to_image(reg_boxes, image_sizes)
-
-        noun_embs = self.extract_word_embeddings(cap_tok_ids, cap_tok_mask)
-        region_scores = jnp.einsum("bpd,bwd->bpw", emb, noun_embs)
         # per-region softmax over the caption vocabulary, invalid words
         # masked out (soft_teacher.py:139-141)
         region_scores = jnp.where(
@@ -104,17 +92,7 @@ class _TopKTeacherRCNN(STGeneralizedRCNN):
             "weights": scores,  # sigmoid confidence (soft_teacher.py:151)
         }
         if sb.mask_on:
-            x2 = self.teacher.extract(feats, pseudo_boxes)
-            mask_logits, _ = self.teacher.mask_outputs(x2)
-            probs = mask_head_inference(
-                mask_logits.astype(jnp.float32),
-                jnp.ones((x2.shape[0],), jnp.int32),
-                sb.cls_agnostic_mask,
-            )
-            m2 = probs.shape[-1]
-            out["masks"] = (probs.reshape(b, -1, m2, m2) >= 0.5).astype(
-                jnp.float32
-            )
+            out["masks"] = self._teacher_masks(feats, pseudo_boxes, b)
         return jax.tree_util.tree_map(jax.lax.stop_gradient, out)
 
 

@@ -311,14 +311,18 @@ class GeneralizedRCNN(nn.Module):
                 # GT (the weakly-supervised protocol only assumes which
                 # classes appear, reference wsddn docstring "image-level
                 # labels in weakly supervised settings")
+                # class L occupies column L (column 0 = background,
+                # which wsddn_inference skips) so train/eval indexing
+                # agree
                 c = image_scores.shape[-1]
                 oh = (
                     jax.nn.one_hot(
-                        jnp.clip(targets["gt_labels"] - 1, 0, c - 1), c
+                        jnp.clip(targets["gt_labels"], 0, c - 1), c
                     )
                     * targets["gt_valid"][..., None]
                 )
                 image_labels = jnp.max(oh, axis=1)
+                image_labels = image_labels.at[:, 0].set(0.0)
             losses["loss_classifier"] = wsddn_loss(
                 image_scores, image_labels.astype(jnp.float32)
             )

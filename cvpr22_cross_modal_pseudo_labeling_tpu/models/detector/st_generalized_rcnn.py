@@ -237,21 +237,14 @@ class STGeneralizedRCNN(nn.Module):
         return anchors, objectness, box_reg, proposals
 
     # ------------------------------------------------------------------
-    def generate_pseudo_labels(
-        self,
-        feats,
-        proposals,
-        image_sizes,
-        cap_tok_ids,
-        cap_tok_mask,
-        cap_word_valid,
-        cap_labels=None,
+    def _teacher_region_scores(
+        self, feats, proposals, image_sizes, cap_tok_ids, cap_tok_mask
     ):
-        """Teacher pseudo-label generation, fully on device.
-
-        cap_tok_ids [B, W, T] wordpiece ids per caption noun; cap_tok_mask
-        [B, W, T]; cap_word_valid [B, W].
-        Returns dict with pseudo boxes/labels/scores/embs/teacher masks."""
+        """Shared teacher scoring (generate_pseudo_label front half,
+        st_generalized_rcnn.py:218-249): teacher-regressed boxes, region
+        embeddings, and the region x caption-word similarity matrix.
+        Used by the per-word-argmax base model and the top-k baseline
+        variants (models/detector/baselines.py)."""
         sb = self.statics.base
         b, p = proposals.boxes.shape[:2]
 
@@ -271,8 +264,43 @@ class STGeneralizedRCNN(nn.Module):
         noun_embs = self.extract_word_embeddings(
             cap_tok_ids, cap_tok_mask
         )  # [B, W, d]
-
         region_scores = jnp.einsum("bpd,bwd->bpw", emb, noun_embs)
+        return emb, reg_boxes, region_scores
+
+    def _teacher_masks(self, feats, pseudo_boxes, b):
+        """Teacher mask pass on chosen boxes, binarized at 0.5 like
+        Masker(threshold=0.5) (st_generalized_rcnn.py:264-272)."""
+        sb = self.statics.base
+        x2 = self.teacher.extract(feats, pseudo_boxes)
+        mask_logits, _ = self.teacher.mask_outputs(x2)
+        probs = mask_head_inference(
+            mask_logits.astype(jnp.float32),
+            jnp.ones((x2.shape[0],), jnp.int32),
+            sb.cls_agnostic_mask,
+        )
+        m2 = probs.shape[-1]
+        return (probs.reshape(b, -1, m2, m2) >= 0.5).astype(jnp.float32)
+
+    def generate_pseudo_labels(
+        self,
+        feats,
+        proposals,
+        image_sizes,
+        cap_tok_ids,
+        cap_tok_mask,
+        cap_word_valid,
+        cap_labels=None,
+    ):
+        """Teacher pseudo-label generation, fully on device.
+
+        cap_tok_ids [B, W, T] wordpiece ids per caption noun; cap_tok_mask
+        [B, W, T]; cap_word_valid [B, W].
+        Returns dict with pseudo boxes/labels/scores/embs/teacher masks."""
+        sb = self.statics.base
+        b, p = proposals.boxes.shape[:2]
+        emb, reg_boxes, region_scores = self._teacher_region_scores(
+            feats, proposals, image_sizes, cap_tok_ids, cap_tok_mask
+        )
         region_scores = jnp.where(
             proposals.valid[:, :, None], region_scores, -jnp.inf
         )
@@ -300,18 +328,7 @@ class STGeneralizedRCNN(nn.Module):
             else jnp.zeros(cap_word_valid.shape, jnp.int32),
         }
         if sb.mask_on:
-            x2 = self.teacher.extract(feats, pseudo_boxes)
-            mask_logits, _ = self.teacher.mask_outputs(x2)
-            probs = mask_head_inference(
-                mask_logits.astype(jnp.float32),
-                jnp.ones((x2.shape[0],), jnp.int32),
-                sb.cls_agnostic_mask,
-            )
-            m2 = probs.shape[-1]
-            # binarize at 0.5, like Masker(threshold=0.5)
-            out["masks"] = (probs.reshape(b, -1, m2, m2) >= 0.5).astype(
-                jnp.float32
-            )
+            out["masks"] = self._teacher_masks(feats, pseudo_boxes, b)
         return jax.tree_util.tree_map(jax.lax.stop_gradient, out)
 
     # ------------------------------------------------------------------

@@ -289,3 +289,32 @@ def test_detections_to_coco_results_keypoints():
     kp = res[0]["keypoints"]
     assert len(kp) == 17 * 3
     assert kp[0] == 20.0 and kp[1] == 40.0 and kp[2] == 1.0
+
+
+def test_keypoint_eval_instances_style_gt(tmp_path):
+    """KEYPOINT_ON eval over a dataset whose annotations carry NO
+    keypoints must not crash and must ignore all GTs (pycocotools
+    _prepare: num_keypoints == 0 -> ignore)."""
+    gts = [
+        {
+            "image_id": 1,
+            "category_id": 1,
+            "bbox": [5.0, 15.0, 60.0, 45.0],
+        }
+    ]
+    idx = make_index(tmp_path, gts)
+    ev = CocoStyleEvaluator(idx, "keypoints")
+    ev.update(
+        [
+            {
+                "image_id": 1,
+                "category_id": 1,
+                "bbox": [5.0, 15.0, 60.0, 45.0],
+                "score": 0.9,
+                "keypoints": _kp_flat([(10, 20)] * 17, vis=1),
+            }
+        ]
+    )
+    ev.accumulate()
+    s = ev.summarize()
+    assert s["AP"] == -1.0  # no valid gt anywhere -> undefined, not crash

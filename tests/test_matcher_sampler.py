@@ -86,3 +86,34 @@ def test_sampler_randomness_differs_by_key():
     s1, _ = balanced_sample_masks(pos, neg, jax.random.PRNGKey(0), 64, 0.5)
     s2, _ = balanced_sample_masks(pos, neg, jax.random.PRNGKey(1), 64, 0.5)
     assert not np.array_equal(np.asarray(s1), np.asarray(s2))
+
+
+def test_distributed_sampler_eval_partition_exact():
+    """pad=False (eval mode): the ranks partition the dataset exactly —
+    no duplicates, nothing missing — so the multi-host prediction
+    gather cannot double-count boundary images."""
+    from cvpr22_cross_modal_pseudo_labeling_tpu.data.samplers import (
+        DistributedSampler,
+    )
+
+    n, world = 13, 4
+    shards = [
+        list(
+            DistributedSampler(
+                n, num_replicas=world, rank=r, shuffle=False, pad=False
+            )
+        )
+        for r in range(world)
+    ]
+    flat = sorted(i for s in shards for i in s)
+    assert flat == list(range(n))
+    # padded mode still duplicates (train-time divisibility contract)
+    padded = [
+        list(
+            DistributedSampler(
+                n, num_replicas=world, rank=r, shuffle=False, pad=True
+            )
+        )
+        for r in range(world)
+    ]
+    assert sum(len(s) for s in padded) == 16

@@ -53,7 +53,13 @@ def main():
     logger = setup_logger("cmpl_tpu", cfg.OUTPUT_DIR, jax.process_index())
 
     model = build_detection_model(cfg)
-    loaders, datasets = make_data_loader(cfg, is_train=False)
+    loaders, datasets = make_data_loader(
+        cfg,
+        is_train=False,
+        is_distributed=jax.process_count() > 1,
+        rank=jax.process_index(),
+        num_replicas=jax.process_count(),
+    )
 
     # initialize params with an eval-shaped example
     ds0 = datasets[0]

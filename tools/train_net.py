@@ -302,7 +302,13 @@ def train(cfg, logger):
             inference,
         )
 
-        val_loaders, val_datasets = make_data_loader(cfg, is_train=False)
+        val_loaders, val_datasets = make_data_loader(
+            cfg,
+            is_train=False,
+            is_distributed=jax.process_count() > 1,
+            rank=jax.process_index(),
+            num_replicas=jax.process_count(),
+        )
         val_step = None
         if not cfg.SOLVER.SKIP_VAL_LOSS:
             from cvpr22_cross_modal_pseudo_labeling_tpu.engine.train_step import (
@@ -310,7 +316,11 @@ def train(cfg, logger):
             )
 
             val_step = jax.jit(build_val_loss_step(model, meta_arch))
-        iou_types = ("bbox",) + (("segm",) if cfg.MODEL.MASK_ON else ())
+        iou_types = (
+            ("bbox",)
+            + (("segm",) if cfg.MODEL.MASK_ON else ())
+            + (("keypoints",) if cfg.MODEL.KEYPOINT_ON else ())
+        )
 
         def eval_fn(state, iteration):
             for name, loader_t, ds in zip(
@@ -379,14 +389,24 @@ def run_test(cfg, model, state, logger):
         make_mesh,
     )
 
-    iou_types = ("bbox",) + (("segm",) if cfg.MODEL.MASK_ON else ())
+    iou_types = (
+            ("bbox",)
+            + (("segm",) if cfg.MODEL.MASK_ON else ())
+            + (("keypoints",) if cfg.MODEL.KEYPOINT_ON else ())
+        )
     # post-training eval shards over the same mesh training just used
     mesh = (
         make_mesh(cfg.TPU.MESH_AXES, cfg.TPU.MESH_SHAPE)
         if len(jax.devices()) > 1
         else None
     )
-    loaders, datasets = make_data_loader(cfg, is_train=False)
+    loaders, datasets = make_data_loader(
+        cfg,
+        is_train=False,
+        is_distributed=jax.process_count() > 1,
+        rank=jax.process_index(),
+        num_replicas=jax.process_count(),
+    )
     for name, loader, dataset in zip(
         cfg.DATASETS.TEST, loaders, datasets
     ):
