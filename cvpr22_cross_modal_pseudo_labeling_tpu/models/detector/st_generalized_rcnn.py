@@ -347,6 +347,7 @@ class STGeneralizedRCNN(nn.Module):
         rng_name,
         sample_weight_table=None,
         focal_gamma=None,
+        append_gt=True,
     ):
         """One student training branch (pseudo or GT): subsample, box and
         mask losses, per-image masked.
@@ -359,8 +360,19 @@ class STGeneralizedRCNN(nn.Module):
         # exclude whole images not in this branch from sampling validity
         pvalid = proposals.valid & image_mask[:, None]
         gvalid = gt_valid & image_mask[:, None]
-        all_boxes = jnp.concatenate([proposals.boxes, gt_boxes], axis=1)
-        all_valid = jnp.concatenate([pvalid, gvalid], axis=1)
+        if append_gt:
+            # add_gt_proposals (rpn/inference.py:53-74) — the TRAIN
+            # selector path only; the caption branch runs rpn.eval()
+            # (st_generalized_rcnn.py:313-314), whose selector does NOT
+            # append targets, so pseudo boxes are matching targets but
+            # never guaranteed candidates
+            all_boxes = jnp.concatenate(
+                [proposals.boxes, gt_boxes], axis=1
+            )
+            all_valid = jnp.concatenate([pvalid, gvalid], axis=1)
+        else:
+            all_boxes = proposals.boxes
+            all_valid = pvalid
         sampled = subsample_rois(
             all_boxes,
             all_valid,
@@ -507,6 +519,7 @@ class STGeneralizedRCNN(nn.Module):
             cap_mask,
             compute_uncertain=s.uncertainty,
             rng_name="sampler",
+            append_gt=False,
             **self._pseudo_loss_extras(pseudo),
         )
         info["avg_uncertain"] = avg_unc
