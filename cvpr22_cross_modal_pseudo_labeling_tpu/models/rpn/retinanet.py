@@ -157,8 +157,11 @@ def retinanet_loss(
             logits, labels, s.loss_gamma, s.loss_alpha
         ).sum(axis=-1)
         cls_sum = jnp.sum(cls * (labels >= 0))
+        # the reference encodes regression targets with the SAME
+        # (10, 10, 5, 5) coder used at inference (retinanet.py:101 —
+        # one BoxCoder feeds both the loss evaluator and postprocessor)
         reg_targets = encode_boxes(
-            gts[jnp.clip(matched, 0)], anchors, (1.0, 1.0, 1.0, 1.0)
+            gts[jnp.clip(matched, 0)], anchors, (10.0, 10.0, 5.0, 5.0)
         )
         reg_sum = jnp.sum(
             smooth_l1_loss(reg, reg_targets, beta=s.bbox_reg_beta)
@@ -169,10 +172,14 @@ def retinanet_loss(
     cls_sums, reg_sums, n_pos = jax.vmap(per_image)(
         cls_logits, box_regression, gt_boxes, gt_labels, gt_valid
     )
-    denom = jnp.maximum(jnp.sum(n_pos).astype(jnp.float32), 1.0)
+    b = cls_logits.shape[0]
+    total_pos = jnp.sum(n_pos).astype(jnp.float32)
+    # reference normalizations (retinanet/loss.py:66-80):
+    # cls /(num_pos + num_images); reg /max(1, num_pos * regress_norm)
     return (
-        jnp.sum(cls_sums) / denom,
-        jnp.sum(reg_sums) / denom * s.bbox_reg_weight / 4.0,
+        jnp.sum(cls_sums) / (total_pos + b),
+        jnp.sum(reg_sums)
+        / jnp.maximum(total_pos * s.bbox_reg_weight, 1.0),
     )
 
 
