@@ -56,13 +56,18 @@ def keypoints_to_heatmap_targets(
     offset_y = rois[:, 1][:, None]
     scale_x = heatmap_size / jnp.maximum(rois[:, 2] - rois[:, 0], 1e-6)
     scale_y = heatmap_size / jnp.maximum(rois[:, 3] - rois[:, 1], 1e-6)
+    # boundary snap applies when the ORIGINAL coordinate equals the box
+    # edge (keypoint.py:170-179), not when the discretized bin happens
+    # to land on the boundary — a point just outside the box must stay
+    # invalid even if its floor() bin is exactly heatmap_size
+    x_edge = keypoints[..., 0] == rois[:, 2][:, None]
+    y_edge = keypoints[..., 1] == rois[:, 3][:, None]
     x = (keypoints[..., 0] - offset_x) * scale_x[:, None]
     y = (keypoints[..., 1] - offset_y) * scale_y[:, None]
     x = jnp.floor(x).astype(jnp.int32)
     y = jnp.floor(y).astype(jnp.int32)
-    # boundary: points exactly on the right/bottom edge snap inside
-    x = jnp.where(x == heatmap_size, heatmap_size - 1, x)
-    y = jnp.where(y == heatmap_size, heatmap_size - 1, y)
+    x = jnp.where(x_edge, heatmap_size - 1, x)
+    y = jnp.where(y_edge, heatmap_size - 1, y)
     in_range = (
         (x >= 0) & (x < heatmap_size) & (y >= 0) & (y < heatmap_size)
     )

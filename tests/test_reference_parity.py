@@ -722,3 +722,52 @@ def test_box_head_loss_parity(cls_agnostic, bg_weight):
     )
     np.testing.assert_allclose(float(ours_cls), float(ref_cls), rtol=1e-5)
     np.testing.assert_allclose(float(ours_box), float(ref_box), rtol=1e-5)
+
+
+def test_keypoints_to_heat_map_parity():
+    """Discretization parity with structures/keypoint.py:154 — incl. the
+    exact-edge snap (original coordinate == box edge) and the
+    just-outside case that must stay invalid."""
+    kp_mod = ref_module("structures.keypoint")
+
+    from cvpr22_cross_modal_pseudo_labeling_tpu.models.roi_heads.keypoint_head import (
+        keypoints_to_heatmap_targets,
+    )
+
+    rng = np.random.RandomState(0)
+    S, K, H = 6, 17, 14
+    rois = np.stack(
+        [
+            rng.uniform(0, 40, S),
+            rng.uniform(0, 40, S),
+            rng.uniform(60, 120, S),
+            rng.uniform(60, 120, S),
+        ],
+        axis=1,
+    ).astype(np.float32)
+    kps = np.stack(
+        [
+            rng.uniform(-10, 130, (S, K)),
+            rng.uniform(-10, 130, (S, K)),
+            rng.randint(0, 3, (S, K)).astype(np.float64),
+        ],
+        axis=-1,
+    ).astype(np.float32)
+    # force the edge cases: exactly-on-edge and just-outside
+    kps[0, 0, :2] = (rois[0, 2], rois[0, 3])  # exact edge -> snap, valid
+    kps[0, 1, 0] = rois[0, 2] + 1e-3          # just outside -> invalid
+    kps[0, :2, 2] = 2
+
+    ref_maps, ref_valid = kp_mod.keypoints_to_heat_map(
+        torch.from_numpy(kps), torch.from_numpy(rois), H
+    )
+    targets, valid = keypoints_to_heatmap_targets(
+        jnp.asarray(kps), jnp.asarray(rois), H
+    )
+    np.testing.assert_array_equal(
+        np.asarray(valid), ref_valid.numpy().astype(bool)
+    )
+    v = ref_valid.numpy().astype(bool)
+    np.testing.assert_array_equal(
+        np.asarray(targets)[v], ref_maps.numpy()[v]
+    )
