@@ -324,7 +324,9 @@ class GeneralizedRCNN(nn.Module):
                 image_labels = jnp.max(oh, axis=1)
                 image_labels = image_labels.at[:, 0].set(0.0)
             losses["loss_classifier"] = wsddn_loss(
-                image_scores, image_labels.astype(jnp.float32)
+                image_scores,
+                image_labels.astype(jnp.float32),
+                background_weight=s.bg_weight,
             )
             return RCNNTrainOutput(losses, info)
 

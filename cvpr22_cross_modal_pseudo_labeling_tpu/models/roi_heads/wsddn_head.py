@@ -18,30 +18,24 @@ from ...ops.losses import binary_cross_entropy_with_logits
 
 
 class WSDDNHead(nn.Module):
-    num_classes: int  # foreground classes (no background)
-    hidden_dim: int = 1024
+    num_classes: int  # incl. the background slot at 0
     dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(
         self,
-        pooled_vec: jnp.ndarray,  # [B, S, D] pooled RoI features
+        pooled_vec: jnp.ndarray,  # [B, S, D] avg-pooled RoI features
         proposal_valid: jnp.ndarray,  # [B, S]
     ):
-        x = nn.relu(
-            nn.Dense(self.hidden_dim, dtype=self.dtype, name="fc6")(
-                pooled_vec
-            )
-        )
-        x = nn.relu(
-            nn.Dense(self.hidden_dim, dtype=self.dtype, name="fc7")(x)
-        )
+        # the reference predictor puts both linear streams directly on
+        # the pooled features (wsddn_head/roi_box_predictors.py:10-28 --
+        # no hidden MLP)
         cls_logits = nn.Dense(
             self.num_classes, dtype=self.dtype, name="cls_score"
-        )(x)
+        )(pooled_vec)
         det_logits = nn.Dense(
             self.num_classes, dtype=self.dtype, name="det_score"
-        )(x)
+        )(pooled_vec)
         big_neg = jnp.asarray(-1e9, cls_logits.dtype)
         cls_sm = jax.nn.softmax(cls_logits, axis=-1)  # over classes
         det_sm = jax.nn.softmax(
@@ -98,12 +92,16 @@ def wsddn_inference(
 
 
 def wsddn_loss(
-    image_scores: jnp.ndarray, image_labels: jnp.ndarray
+    image_scores: jnp.ndarray,
+    image_labels: jnp.ndarray,
+    background_weight: float = 1.0,
 ) -> jnp.ndarray:
-    """Binary CE between clamped image-level scores and multi-label
-    targets [B, C] in {0, 1}."""
-    p = jnp.clip(image_scores, 1e-6, 1.0 - 1e-6)
-    ce = -(
-        image_labels * jnp.log(p) + (1 - image_labels) * jnp.log1p(-p)
+    """Multi-label image-level BCE (wsddn_head/loss.py:13-31): positive
+    term -t*log(p), negative term -(1-t)*log(1-p+1e-6) scaled by
+    LOSS_WEIGHT_BACKGROUND, MEAN over every (image, class) entry."""
+    p = jnp.clip(image_scores, 1e-6, None)
+    neg = jnp.log(jnp.clip(1.0 - p, 0.0, None) + 1e-6)
+    ce = -(image_labels * jnp.log(p)) - (
+        (1.0 - image_labels) * neg * background_weight
     )
-    return jnp.mean(jnp.sum(ce, axis=-1))
+    return jnp.mean(ce)

@@ -43,7 +43,7 @@ def test_keypoint_predictor_and_loss():
 
 
 def test_wsddn_head():
-    model = WSDDNHead(num_classes=5, hidden_dim=16)
+    model = WSDDNHead(num_classes=5)
     pooled = jnp.asarray(np.random.RandomState(0).randn(2, 8, 12),
                          jnp.float32)
     valid = jnp.ones((2, 8), bool)

@@ -771,3 +771,77 @@ def test_keypoints_to_heat_map_parity():
     np.testing.assert_array_equal(
         np.asarray(targets)[v], ref_maps.numpy()[v]
     )
+
+
+def test_wsddn_head_and_loss_parity():
+    """WSDDN two-stream predictor + image-level BCE vs the reference
+    modules (wsddn_head/roi_box_predictors.py:5-28, loss.py:13-31) with
+    transplanted linear weights: per-proposal combined scores (ours in
+    prob space == exp of the reference's combined log scores) and the
+    weighted multi-label loss must match."""
+    pred_mod = ref_module("modeling.roi_heads.wsddn_head.roi_box_predictors")
+    loss_mod = ref_module("modeling.roi_heads.wsddn_head.loss")
+    from ref_oracle import _CfgNode
+
+    from cvpr22_cross_modal_pseudo_labeling_tpu.models.roi_heads.wsddn_head import (
+        WSDDNHead,
+        wsddn_loss,
+    )
+
+    C, D, B, S = 5, 32, 2, 7
+    cfg = _CfgNode()
+    cfg.MODEL = _CfgNode()
+    cfg.MODEL.ROI_BOX_HEAD = _CfgNode()
+    cfg.MODEL.ROI_BOX_HEAD.NUM_CLASSES = C
+    cfg.MODEL.ROI_BOX_HEAD.LOSS_WEIGHT_BACKGROUND = 0.3
+
+    torch.manual_seed(0)
+    ref_pred = pred_mod.WSDDNPredictor(cfg, D)
+    ref_loss = loss_mod.WSDDNLossComputation(cfg)
+
+    rng = np.random.RandomState(1)
+    feats = rng.randn(B * S, D, 1, 1).astype(np.float32)
+    labels = (rng.rand(B, C) < 0.4).astype(np.float32)
+
+    with torch.no_grad():
+        combined_log = ref_pred(
+            torch.from_numpy(feats), [S, S]
+        )  # [B*S, C] log scores
+        ref_l = ref_loss(
+            combined_log, torch.from_numpy(labels), [S, S]
+        )
+
+    head = WSDDNHead(num_classes=C)
+    pooled = jnp.asarray(feats.reshape(B, S, D))
+    valid = jnp.ones((B, S), bool)
+    params = {
+        "params": {
+            "cls_score": {
+                "kernel": jnp.asarray(
+                    ref_pred.cls_score.weight.detach().numpy().T
+                ),
+                "bias": jnp.asarray(
+                    ref_pred.cls_score.bias.detach().numpy()
+                ),
+            },
+            "det_score": {
+                "kernel": jnp.asarray(
+                    ref_pred.det_score.weight.detach().numpy().T
+                ),
+                "bias": jnp.asarray(
+                    ref_pred.det_score.bias.detach().numpy()
+                ),
+            },
+        }
+    }
+    proposal_scores, image_scores = head.apply(params, pooled, valid)
+    np.testing.assert_allclose(
+        np.asarray(proposal_scores).reshape(B * S, C),
+        np.exp(combined_log.numpy()),
+        rtol=0,
+        atol=1e-5,
+    )
+    ours_l = wsddn_loss(
+        image_scores, jnp.asarray(labels), background_weight=0.3
+    )
+    np.testing.assert_allclose(float(ours_l), float(ref_l), rtol=2e-5)
