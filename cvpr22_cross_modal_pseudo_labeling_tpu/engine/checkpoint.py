@@ -33,18 +33,14 @@ import numpy as np
 # orbax native checkpoints
 # ---------------------------------------------------------------------------
 
-def save_checkpoint(directory: str, state, step: int, keep: int = 5):
-    import orbax.checkpoint as ocp
+_async_ckptr = None
+_pending = None  # (directory, path, keep) of an in-flight async save
 
-    directory = os.path.abspath(directory)
-    os.makedirs(directory, exist_ok=True)
-    path = os.path.join(directory, f"model_{step:07d}")
-    ckptr = ocp.StandardCheckpointer()
-    ckptr.save(path, jax.device_get(state), force=True)
-    ckptr.wait_until_finished()
+
+def _finalize(directory: str, path: str, keep: int):
+    """Publishes a completed checkpoint: last_checkpoint tag + prune."""
     with open(os.path.join(directory, "last_checkpoint"), "w") as f:
         f.write(path)
-    # prune old checkpoints
     cks = sorted(
         d for d in os.listdir(directory) if d.startswith("model_")
     )
@@ -52,6 +48,42 @@ def save_checkpoint(directory: str, state, step: int, keep: int = 5):
         import shutil
 
         shutil.rmtree(os.path.join(directory, old), ignore_errors=True)
+
+
+def flush_pending_checkpoint():
+    """Waits for an in-flight async save and publishes it."""
+    global _pending
+    if _pending is None:
+        return
+    _async_ckptr.wait_until_finished()
+    _finalize(*_pending)
+    _pending = None
+
+
+def save_checkpoint(
+    directory: str, state, step: int, keep: int = 5, block: bool = True
+):
+    """``block=False`` pipelines the orbax write with training: the save
+    starts in the background and is published (last_checkpoint tag +
+    prune) by the NEXT save or an explicit flush_pending_checkpoint(),
+    so the tag never points at an unfinished checkpoint.  The reference
+    blocks on torch.save at every CHECKPOINT_PERIOD (checkpoint.py:
+    34-52); multi-GB states make that a visible training stall."""
+    global _async_ckptr, _pending
+    import orbax.checkpoint as ocp
+
+    directory = os.path.abspath(directory)
+    os.makedirs(directory, exist_ok=True)
+    path = os.path.join(directory, f"model_{step:07d}")
+    if _async_ckptr is None:
+        _async_ckptr = ocp.StandardCheckpointer()
+    flush_pending_checkpoint()
+    _async_ckptr.save(path, jax.device_get(state), force=True)
+    if block:
+        _async_ckptr.wait_until_finished()
+        _finalize(directory, path, keep)
+    else:
+        _pending = (directory, path, keep)
     return path
 
 

@@ -20,7 +20,7 @@ import numpy as np
 
 from ..utils.logger import get_logger
 from ..utils.metric_logger import MetricLogger
-from .checkpoint import save_checkpoint
+from .checkpoint import flush_pending_checkpoint, save_checkpoint
 from .train_step import batch_shardings
 
 
@@ -134,10 +134,13 @@ def do_train(
                 writer.write(iteration, metrics)
         if ckpt_period and iteration % ckpt_period == 0:
             if jax.process_index() == 0 and output_dir:
+                # pipelined: the orbax write overlaps the next steps and
+                # is published by the following save / the final flush
                 save_checkpoint(
                     output_dir,
                     {"state": jax.device_get(state), "iteration": iteration},
                     iteration,
+                    block=False,
                 )
                 _save_loader_state(output_dir, loader)
         if test_period and eval_fn and iteration % test_period == 0:
@@ -152,6 +155,7 @@ def do_train(
             {"state": jax.device_get(state), "iteration": iteration},
             iteration,
         )
+        flush_pending_checkpoint()
         _save_loader_state(output_dir, loader)
     if writer:
         writer.close()

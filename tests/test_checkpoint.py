@@ -310,3 +310,28 @@ def test_conv_transpose_import():
         m.apply({"params": new_tree["mask_predictor"]["conv5_mask"]}, xj)
     ).transpose(0, 3, 1, 2)
     np.testing.assert_allclose(out, ref, rtol=0, atol=1e-5)
+
+
+def test_async_checkpoint_pipelines_and_publishes(tmp_path):
+    """block=False: the last_checkpoint tag appears only once the save
+    is published (next save or flush), and always points at a
+    restorable checkpoint."""
+    import os
+
+    from cvpr22_cross_modal_pseudo_labeling_tpu.engine.checkpoint import (
+        flush_pending_checkpoint,
+        latest_checkpoint,
+        load_checkpoint,
+    )
+
+    d = str(tmp_path / "ck")
+    state1 = {"state": {"w": np.ones((4,), np.float32)}, "iteration": 1}
+    save_checkpoint(d, state1, 1, block=False)
+    state2 = {"state": {"w": np.full((4,), 2.0, np.float32)}, "iteration": 2}
+    save_checkpoint(d, state2, 2, block=False)  # publishes save 1
+    assert latest_checkpoint(d).endswith("model_0000001")
+    flush_pending_checkpoint()  # publishes save 2
+    assert latest_checkpoint(d).endswith("model_0000002")
+    restored = load_checkpoint(latest_checkpoint(d))
+    np.testing.assert_allclose(restored["state"]["w"], 2.0)
+    assert int(restored["iteration"]) == 2
