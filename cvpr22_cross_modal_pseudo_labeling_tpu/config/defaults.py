@@ -342,7 +342,11 @@ _C.TEST.DO_EVAL = True
 # Misc
 # ---------------------------------------------------------------------------
 _C.OUTPUT_DIR = "."
-_C.PATHS_CATALOG = os.path.join(os.path.dirname(__file__), "paths_catalog.py")
+_C.PATHS_CATALOG = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    "data",
+    "paths_catalog.py",
+)
 _C.DTYPE = "float32"
 _C.AMP_VERBOSE = False
 

@@ -11,6 +11,7 @@ queue; the device transfer is double-buffered by the caller via
 jax.device_put on the next batch while the current step runs.
 """
 
+import os
 import queue
 import threading
 from typing import Iterator, Optional
@@ -45,10 +46,35 @@ DATASET_CLASSES = {
 }
 
 
+def load_paths_catalog(cfg):
+    """Imports the dataset catalog module from cfg.PATHS_CATALOG by file
+    path (reference defaults.py:571 + utils/imports.py import_file), so
+    deployments can swap dataset roots without touching the package."""
+    from . import paths_catalog as default_catalog
+
+    path = getattr(cfg, "PATHS_CATALOG", "") or ""
+    if (
+        not path
+        or not os.path.exists(path)
+        or os.path.abspath(path) == os.path.abspath(
+            default_catalog.__file__
+        )
+    ):
+        return default_catalog
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "cmpl_tpu_paths_catalog", path
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
 def build_dataset(cfg, dataset_names, transforms, is_train: bool):
     """data/build.py:18-63: catalog entries -> dataset instances,
     concatenated for training."""
-    from . import paths_catalog
+    paths_catalog = load_paths_catalog(cfg)
 
     def instantiate(name):
         entry = paths_catalog.DatasetCatalog.get(name)

@@ -384,3 +384,32 @@ def test_keypoints_through_transforms_and_collate():
         batch["gt_keypoints"][0, 0, 1, :2], [10.0, 20.0]
     )
     assert batch["gt_keypoints"][1].sum() == 0
+
+
+def test_paths_catalog_import_by_path(tmp_path):
+    """cfg.PATHS_CATALOG pointing at a deployment-specific module swaps
+    the dataset catalog (reference defaults.py:571 + utils/imports.py),
+    while the default path resolves to the packaged catalog."""
+    from cvpr22_cross_modal_pseudo_labeling_tpu.config import get_default_cfg
+    from cvpr22_cross_modal_pseudo_labeling_tpu.data import paths_catalog
+    from cvpr22_cross_modal_pseudo_labeling_tpu.data.build import (
+        load_paths_catalog,
+    )
+
+    cfg = get_default_cfg()
+    assert load_paths_catalog(cfg) is paths_catalog
+
+    custom = tmp_path / "my_catalog.py"
+    custom.write_text(
+        "class DatasetCatalog:\n"
+        "    @staticmethod\n"
+        "    def get(name):\n"
+        "        return {'factory': 'COCODataset',\n"
+        "                'args': {'ann_file': '/custom/' + name,\n"
+        "                         'root': '/custom/images'}}\n"
+    )
+    cfg.PATHS_CATALOG = str(custom)
+    mod = load_paths_catalog(cfg)
+    assert mod is not paths_catalog
+    entry = mod.DatasetCatalog.get("x.json")
+    assert entry["args"]["ann_file"] == "/custom/x.json"
