@@ -137,6 +137,25 @@ class PrefetchingLoader:
             )
             return self.dataset[(idx + 1) % len(self.dataset)]
 
+    def example_batch(self):
+        """One collated batch built synchronously from the head of the
+        sampler, WITHOUT starting the prefetch thread or consuming the
+        training stream — used for parameter init (tools/train_net.py).
+        Falls back to the dataset head when the sampler is already
+        exhausted (a completed run relaunched: start_iter == MAX_ITER
+        makes IterationBasedBatchSampler empty)."""
+        first_idx = next(iter(self.batch_sampler), None)
+        if first_idx is None:
+            bs_obj = self.batch_sampler
+            while not hasattr(bs_obj, "batch_size") and hasattr(
+                bs_obj, "batch_sampler"
+            ):
+                bs_obj = bs_obj.batch_sampler
+            bs = getattr(bs_obj, "batch_size", 1)
+            first_idx = [i % len(self.dataset) for i in range(bs)]
+        samples = [self._fetch(i) for i in first_idx]
+        return self.collator(samples), list(first_idx)
+
     def __iter__(self) -> Iterator:
         out_q: "queue.Queue" = queue.Queue(maxsize=4)
         stop = threading.Event()

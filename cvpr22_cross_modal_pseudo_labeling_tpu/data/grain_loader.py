@@ -108,6 +108,9 @@ class GrainLoader:
             else None
         )
         source = _RobustIndexedSource(dataset, index_map)
+        self._source = source
+        self._collator = collator
+        self._example_batch_size = batch_size
 
         def collate(samples):
             indices = [i for i, _ in samples]
@@ -146,6 +149,15 @@ class GrainLoader:
 
     def __len__(self) -> int:
         return self._len
+
+    def example_batch(self):
+        """One collated batch built directly from the dataset head,
+        without touching the (checkpointable) grain iterator — used for
+        parameter init (tools/train_net.py)."""
+        n = min(self._example_batch_size, len(self._source))
+        samples = [self._source[i] for i in range(n)]
+        indices = [i for i, _ in samples]
+        return self._collator([s for _, s in samples]), indices
 
     def iterator(self):
         """The live grain DatasetIterator (created on first use);

@@ -41,6 +41,7 @@ SLOW_MODULES = {
     "test_dcn_backbone",
     "test_bbox_aug_driver",
     "test_multidevice_equivalence",
+    "test_cli_resume",
 }
 
 

@@ -106,18 +106,41 @@ def train(cfg, logger):
     from cvpr22_cross_modal_pseudo_labeling_tpu.parallel.mesh import make_mesh
 
     meta_arch = cfg.MODEL.META_ARCHITECTURE
+
+    # Resume discovery BEFORE the loader is built: the checkpoint dir
+    # name encodes the step (model_%07d), so start_iter reaches the
+    # sampler (reference threads start_iter into make_data_loader,
+    # data/build.py:115 + trainer.py:94).  A resumed grain stream is
+    # positioned by its own saved iterator state instead, so the grain
+    # loader must NOT also be sliced (that would double-skip).
+    from cvpr22_cross_modal_pseudo_labeling_tpu.engine.trainer import (
+        loader_state_path,
+    )
+
+    start_iter = 0
+    last = latest_checkpoint(cfg.OUTPUT_DIR)
+    if last and cfg.MODEL.LOAD_TRAINER_STATE:
+        start_iter = int(os.path.basename(last).rsplit("_", 1)[-1])
+    has_loader_state = os.path.exists(loader_state_path(cfg.OUTPUT_DIR))
+    use_stream_state = (
+        cfg.DATALOADER.USE_GRAIN and has_loader_state and start_iter > 0
+    )
+
     model = build_detection_model(cfg)
     loader, dataset = make_data_loader(
         cfg,
         is_train=True,
         is_distributed=jax.process_count() > 1,
+        start_iter=0 if use_stream_state else start_iter,
         rank=jax.process_index(),
         num_replicas=jax.process_count(),
     )
 
-    # one example batch to initialize parameters
-    batch_iter = iter(loader)
-    example_batch, _ = next(batch_iter)
+    # one example batch to initialize parameters, built directly from
+    # the dataset so the training stream itself is not consumed and no
+    # prefetch thread is left running (reference builds the loader with
+    # the model already constructed and never needs this)
+    example_batch, _ = loader.example_batch()
     extra_batch = {}
     class_emb = getattr(dataset, "class_emb_mtx", None)
     if class_emb is not None:
@@ -267,21 +290,30 @@ def train(cfg, logger):
     )
     state = create_train_state(params, tx, jax.random.PRNGKey(42))
 
-    start_iter = 0
-    last = latest_checkpoint(cfg.OUTPUT_DIR)
     if last and cfg.MODEL.LOAD_TRAINER_STATE:
         restored = load_checkpoint(
             last, {"state": jax.device_get(state), "iteration": 0}
         )
         state = restored["state"]
-        start_iter = int(restored["iteration"])
+        restored_iter = int(restored["iteration"])
+        if restored_iter != start_iter:
+            # the tag-file path and the stored iteration should agree by
+            # construction (save_checkpoint names the dir by step);
+            # trust the checkpoint contents if they ever differ
+            logger.warning(
+                "checkpoint path says iteration %d but contents say %d; "
+                "using %d (loader was sized for %d)",
+                start_iter, restored_iter, restored_iter, start_iter,
+            )
+            start_iter = restored_iter
         logger.info("resumed from %s at iteration %d", last, start_iter)
-        from cvpr22_cross_modal_pseudo_labeling_tpu.engine.trainer import (
-            restore_loader_state,
-        )
+        if use_stream_state:
+            from cvpr22_cross_modal_pseudo_labeling_tpu.engine.trainer import (
+                restore_loader_state,
+            )
 
-        if restore_loader_state(cfg.OUTPUT_DIR, loader):
-            logger.info("data stream resumed from loader_state.json")
+            if restore_loader_state(cfg.OUTPUT_DIR, loader):
+                logger.info("data stream resumed from loader_state.json")
 
     mesh = make_mesh(cfg.TPU.MESH_AXES, cfg.TPU.MESH_SHAPE)
     step_fn = jit_train_step(
