@@ -321,6 +321,11 @@ _C.SOLVER.GRADIENT_ACCUMULATION_STEPS = 1
 _C.SOLVER.USE_TRAIN_MODE_FOR_VALIDATION_LOSS = True
 _C.SOLVER.SKIP_VAL_LOSS = False
 _C.SOLVER.UNCERTAINTY_LR_FACTOR = 1.0
+# Abort training when the logged total loss goes non-finite (TPU-native
+# extension of the reference's MMSS NaN raise, mmss_gcnn.py:116-120 —
+# there, only the MMSS forward raises; here every architecture trips,
+# at the LOG_PERIOD metric fetch so no per-step device sync is added).
+_C.SOLVER.ABORT_ON_NON_FINITE = True
 
 # ---------------------------------------------------------------------------
 # TEST

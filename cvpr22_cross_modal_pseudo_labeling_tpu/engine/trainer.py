@@ -59,6 +59,18 @@ class SummaryWriter:
         self._jsonl.close()
 
 
+def _place(local: np.ndarray, sharding):
+    """Puts a host-local batch array onto the mesh.  Single-process:
+    plain device_put.  Multi-process: the loader yields each process's
+    slice of the global batch (IMS_PER_BATCH // num_hosts,
+    data/build.py:183-191), so the global array is assembled from the
+    process-local shards — the DDP scatter equivalent (reference splits
+    the global batch the same way, data/build.py:118-123)."""
+    if jax.process_count() == 1:
+        return jax.device_put(local, sharding)
+    return jax.make_array_from_process_local_data(sharding, local)
+
+
 def do_train(
     step_fn: Callable,
     state,
@@ -88,17 +100,35 @@ def do_train(
     log_period = cfg.SOLVER.LOG_PERIOD
     ckpt_period = cfg.SOLVER.CHECKPOINT_PERIOD
     test_period = cfg.SOLVER.TEST_PERIOD
+    abort_non_finite = getattr(cfg.SOLVER, "ABORT_ON_NON_FINITE", True)
+
+    if start_iter >= max_iter:
+        # a completed run re-launched in the same OUTPUT_DIR must train
+        # zero additional steps (reference trainer.py:94 enumerate from
+        # start_iter never enters the loop)
+        logger.info(
+            "training already complete (iteration %d >= MAX_ITER %d); "
+            "nothing to do", start_iter, max_iter,
+        )
+        if writer:
+            writer.close()
+        return state
 
     shardings = None
     iteration = start_iter
     end = time.perf_counter()
     for batch, _ in loader:
+        if iteration >= max_iter:
+            # hard budget guard: never step past MAX_ITER even if the
+            # loader yields surplus batches (e.g. a stream restored at
+            # an earlier position than the optimizer state)
+            break
         if extra_batch:
             batch = {**batch, **extra_batch}
         if shardings is None:
             shardings = batch_shardings(batch, mesh)
         batch = {
-            k: jax.device_put(np.asarray(v), shardings[k])
+            k: _place(np.asarray(v), shardings[k])
             for k, v in batch.items()
             if isinstance(v, np.ndarray)
         }
@@ -113,6 +143,25 @@ def do_train(
                 for k, v in jax.device_get(metrics).items()
                 if np.ndim(v) == 0
             }
+            total = metrics.get("total_loss")
+            if (
+                abort_non_finite
+                and total is not None
+                and not np.isfinite(total)
+            ):
+                # blow-ups must stop the job, not burn chip-hours
+                # logging `total_loss: nan` (reference raises in the
+                # MMSS forward, mmss_gcnn.py:116-120); the last good
+                # checkpoint remains on disk for a lower-lr restart
+                logger.error(
+                    "non-finite total_loss %s at iteration %d; aborting "
+                    "(set SOLVER.ABORT_ON_NON_FINITE False to continue "
+                    "through divergence)", total, iteration,
+                )
+                raise FloatingPointError(
+                    f"non-finite total_loss at iteration {iteration}: "
+                    f"{metrics}"
+                )
             batch_time = time.perf_counter() - end
             meters.update(
                 time=batch_time, data=data_time, **metrics
@@ -133,7 +182,10 @@ def do_train(
             if writer:
                 writer.write(iteration, metrics)
         if ckpt_period and iteration % ckpt_period == 0:
-            if jax.process_index() == 0 and output_dir:
+            if output_dir:
+                # EVERY process calls save (orbax coordinates the
+                # single writer through a cross-process barrier; a
+                # rank-0-only call deadlocks a multi-process cluster);
                 # pipelined: the orbax write overlaps the next steps and
                 # is published by the following save / the final flush
                 save_checkpoint(
@@ -149,7 +201,7 @@ def do_train(
         if iteration >= max_iter:
             break
 
-    if jax.process_index() == 0 and output_dir:
+    if output_dir:
         save_checkpoint(
             output_dir,
             {"state": jax.device_get(state), "iteration": iteration},
@@ -162,6 +214,14 @@ def do_train(
     return state
 
 
+def loader_state_path(output_dir: str) -> str:
+    """Per-process file: each host's grain stream has its own position
+    (shard_index slicing), so state must not be shared across ranks."""
+    pid = jax.process_index()
+    name = "loader_state.json" if pid == 0 else f"loader_state_{pid}.json"
+    return os.path.join(output_dir, name)
+
+
 def _save_loader_state(output_dir: str, loader) -> None:
     """Persists the data-stream position next to the model checkpoint
     (grain iterator get_state; no-op for the thread loader, whose
@@ -172,9 +232,7 @@ def _save_loader_state(output_dir: str, loader) -> None:
     import json
 
     try:
-        with open(
-            os.path.join(output_dir, "loader_state.json"), "w"
-        ) as f:
+        with open(loader_state_path(output_dir), "w") as f:
             json.dump(get_state(), f)
     except Exception as e:
         get_logger("trainer").warning("loader state not saved: %s", e)
@@ -184,7 +242,7 @@ def restore_loader_state(output_dir: str, loader) -> bool:
     """Restores a previously saved data-stream position; returns True
     when the loader resumed mid-stream."""
     set_state = getattr(loader, "set_state", None)
-    path = os.path.join(output_dir, "loader_state.json")
+    path = loader_state_path(output_dir)
     if set_state is None or not os.path.exists(path):
         return False
     import json

@@ -64,3 +64,101 @@ def test_do_train_loop(tmp_path):
     assert evals == [3]
     assert latest_checkpoint(str(tmp_path)) is not None
     assert os.path.exists(tmp_path / "tb" / "metrics.jsonl")
+
+
+def _counting_setup(tmp_path, max_iter):
+    cfg = get_default_cfg()
+    cfg.SOLVER.MAX_ITER = max_iter
+    cfg.SOLVER.LOG_PERIOD = 1
+    cfg.SOLVER.CHECKPOINT_PERIOD = 0
+    cfg.SOLVER.TEST_PERIOD = 0
+    cfg.OUTPUT_DIR = str(tmp_path)
+    params = {"params": {"w": jnp.ones((3,))}}
+    tx = optax.sgd(0.1)
+    state = create_train_state(params, tx, jax.random.PRNGKey(0))
+    mesh = make_mesh(("data",), (-1,))
+    steps = []
+
+    def step(state, batch):
+        steps.append(1)
+        from cvpr22_cross_modal_pseudo_labeling_tpu.engine.train_step import (
+            _apply_update,
+        )
+
+        return (
+            _apply_update(state, {"params": {"w": jnp.ones((3,))}}, tx),
+            {"total_loss": jnp.sum(batch["images"])},
+        )
+
+    return cfg, state, mesh, step, steps
+
+
+def test_do_train_completed_run_trains_zero_steps(tmp_path):
+    """Resume of a finished run (start_iter == MAX_ITER) must not step
+    (the round-2 CLI-resume defect trained one extra step here)."""
+    cfg, state, mesh, step, steps = _counting_setup(tmp_path, max_iter=3)
+    final = do_train(
+        step, state, FakeLoader(10), mesh, cfg,
+        output_dir=str(tmp_path), start_iter=3,
+    )
+    assert steps == []
+    assert int(final.step) == 0  # untouched state
+    # and past-the-end positions must not step either
+    do_train(
+        step, state, FakeLoader(10), mesh, cfg,
+        output_dir=str(tmp_path), start_iter=7,
+    )
+    assert steps == []
+
+
+def test_do_train_aborts_on_non_finite_loss(tmp_path):
+    """A diverged run must raise at the next metric fetch instead of
+    logging `total_loss: nan` to MAX_ITER (round-2 weak #7)."""
+    import pytest
+
+    cfg, state, mesh, _, _ = _counting_setup(tmp_path, max_iter=10)
+    cfg.SOLVER.LOG_PERIOD = 2
+
+    def nan_step(state, batch):
+        from cvpr22_cross_modal_pseudo_labeling_tpu.engine.train_step import (
+            _apply_update,
+        )
+
+        new_state = _apply_update(
+            state, {"params": {"w": jnp.ones((3,))}},
+            optax.sgd(0.1),
+        )
+        loss = jnp.where(
+            new_state.step >= 3, jnp.nan, 1.0
+        )
+        return new_state, {"total_loss": loss}
+
+    with pytest.raises(FloatingPointError, match="iteration 4"):
+        do_train(
+            nan_step, state, FakeLoader(10), mesh, cfg,
+            output_dir=str(tmp_path),
+        )
+
+    # opt-out keeps the reference's log-and-continue behavior
+    cfg.SOLVER.ABORT_ON_NON_FINITE = False
+    state2 = create_train_state(
+        {"params": {"w": jnp.ones((3,))}}, optax.sgd(0.1),
+        jax.random.PRNGKey(0),
+    )
+    final = do_train(
+        nan_step, state2, FakeLoader(10), mesh, cfg,
+        output_dir=str(tmp_path / "b"),
+    )
+    assert int(final.step) == 10
+
+
+def test_do_train_surplus_loader_batches_respect_max_iter(tmp_path):
+    """A loader yielding more batches than MAX_ITER - start_iter (e.g. a
+    stream restored behind the optimizer state) must not overrun the
+    iteration budget."""
+    cfg, state, mesh, step, steps = _counting_setup(tmp_path, max_iter=5)
+    do_train(
+        step, state, FakeLoader(10), mesh, cfg,
+        output_dir=str(tmp_path), start_iter=3,
+    )
+    assert len(steps) == 2  # iterations 4 and 5 only
