@@ -42,9 +42,14 @@ def label_params(params, frozen_prefixes: Sequence[str]):
         for pre in frozen_prefixes:
             if pre in p:
                 return "frozen"
+        is_bias = p.endswith("/bias") or p == "bias"
         if "uncertain_pred" in p:
-            return "uncertain"
-        if p.endswith("/bias") or p == "bias":
+            # reference build.py:17-21: bias factors apply FIRST, the
+            # uncertainty lr factor multiplies on top — an
+            # uncertain_pred bias carries BOTH (found by the solver
+            # trajectory oracle, tests/test_solver_oracle.py)
+            return "uncertain_bias" if is_bias else "uncertain"
+        if is_bias:
             return "bias"
         return "default"
 
@@ -94,11 +99,11 @@ def make_optimizer(cfg, params, frozen_prefixes: Sequence[str] = ()):
         chain.append(optax.scale_by_schedule(lambda c: -schedule(c) * lr_factor))
         return optax.chain(*chain)
 
-    uncertain_tx = sgd_group(s.UNCERTAINTY_LR_FACTOR, s.WEIGHT_DECAY)
-    if cfg.MODEL.UNCERTAINTY and cfg.MODEL.UNCERTAINTY_TRAIN_ITER > 0:
-        uncertain_tx = _freeze_after(
-            uncertain_tx, cfg.MODEL.UNCERTAINTY_TRAIN_ITER
-        )
+    def uncertain_group(lr_factor, weight_decay):
+        g = sgd_group(lr_factor, weight_decay)
+        if cfg.MODEL.UNCERTAINTY and cfg.MODEL.UNCERTAINTY_TRAIN_ITER > 0:
+            g = _freeze_after(g, cfg.MODEL.UNCERTAINTY_TRAIN_ITER)
+        return g
 
     labels = label_params(params, frozen_prefixes)
     tx = optax.multi_transform(
@@ -106,12 +111,31 @@ def make_optimizer(cfg, params, frozen_prefixes: Sequence[str] = ()):
             "frozen": optax.set_to_zero(),
             "default": sgd_group(1.0, s.WEIGHT_DECAY),
             "bias": sgd_group(float(s.BIAS_LR_FACTOR), float(s.WEIGHT_DECAY_BIAS)),
-            "uncertain": uncertain_tx,
+            "uncertain": uncertain_group(
+                s.UNCERTAINTY_LR_FACTOR, s.WEIGHT_DECAY
+            ),
+            # bias factors compose with the uncertainty factor
+            # (reference build.py:17-21 applies both)
+            "uncertain_bias": uncertain_group(
+                s.UNCERTAINTY_LR_FACTOR * float(s.BIAS_LR_FACTOR),
+                float(s.WEIGHT_DECAY_BIAS),
+            ),
         },
         labels,
     )
     if s.CLIP_GRAD_NORM_AT > 0:
-        tx = optax.chain(optax.clip_by_global_norm(s.CLIP_GRAD_NORM_AT), tx)
+        # frozen params (requires_grad=False in the reference) carry no
+        # gradient in torch and so contribute NOTHING to the
+        # clip_grad_norm_ global norm (trainer.py:136-138); zero their
+        # grads before the norm or the clip scale diverges (MMSS clips
+        # at 5.0 with the whole language backbone frozen)
+        zero_frozen = optax.masked(
+            optax.set_to_zero(),
+            jax.tree_util.tree_map(lambda l: l == "frozen", labels),
+        )
+        tx = optax.chain(
+            zero_frozen, optax.clip_by_global_norm(s.CLIP_GRAD_NORM_AT), tx
+        )
     if s.GRADIENT_ACCUMULATION_STEPS > 1:
         # true accumulation (trainer.py:118,135): gradients average over
         # k micro-steps, the update applies on the k-th
