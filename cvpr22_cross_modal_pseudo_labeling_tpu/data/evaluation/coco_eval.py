@@ -228,6 +228,30 @@ class CocoStyleEvaluator:
         g_crowd = np.array(iscrowd_raw, bool)
         T, D = len(IOU_THRS), len(dts)
 
+        if self.iou_type == "keypoints" and gts:
+            # pycocotools _prepare: gts with no labeled keypoint are
+            # ignored for the OKS protocol.  This must merge BEFORE the
+            # no-detections early return below — a keypoint-less GT in a
+            # cell with no dts would otherwise count into the recall
+            # denominator (npig), deflating AP/AR (ADVICE r2, medium).
+            g_crowd = g_crowd | np.array(
+                [
+                    int(
+                        g.get(
+                            "num_keypoints",
+                            sum(
+                                1
+                                for v in (g.get("keypoints") or [])[2::3]
+                                if v > 0
+                            ),
+                        )
+                    )
+                    == 0
+                    for g in gts
+                ],
+                bool,
+            )
+
         if not gts:
             # the common sparse case (detections for a class with no GT
             # in this image): no matching, ignores purely by area
@@ -262,26 +286,6 @@ class CocoStyleEvaluator:
                 for a0, a1 in self.area_ranges.values()
             ]
 
-        if self.iou_type == "keypoints":
-            # pycocotools _prepare: gts with no labeled keypoint are
-            # ignored for the OKS protocol
-            g_crowd = g_crowd | np.array(
-                [
-                    int(
-                        g.get(
-                            "num_keypoints",
-                            sum(
-                                1
-                                for v in (g.get("keypoints") or [])[2::3]
-                                if v > 0
-                            ),
-                        )
-                    )
-                    == 0
-                    for g in gts
-                ],
-                bool,
-            )
         out = []
         for at0, at1 in self.area_ranges.values():
             gt_ignore = g_crowd | ~((g_areas >= at0) & (g_areas <= at1))

@@ -139,7 +139,16 @@ class RandomVerticalFlip:
         if len(sample.get("gt_masks", [])):
             sample["gt_masks"] = sample["gt_masks"][:, ::-1, :].copy()
         if sample.get("keypoints") is not None:
-            kp = sample["keypoints"].copy()
+            # a vertical reflection also flips chirality: left/right
+            # keypoint labels must swap exactly as in the horizontal
+            # flip, or they become wrong training targets (the
+            # reference raises NotImplementedError for keypoints +
+            # vertical flip, structures/keypoint.py transpose; ADVICE
+            # r2 low)
+            kp = sample["keypoints"]
+            if kp.shape[1] == len(PERSON_KP_FLIP_INDS):
+                kp = kp[:, PERSON_KP_FLIP_INDS]
+            kp = kp.copy()
             kp[..., 1] = h - kp[..., 1] - TO_REMOVE
             kp[kp[..., 2] == 0] = 0
             sample["keypoints"] = kp

@@ -113,9 +113,16 @@ def compute_on_dataset(
         return out
 
     futures = []
+    results: List[dict] = []
     timer = Timer()
     n_images = 0
     workers = min(8, os.cpu_count() or 1)
+    # backpressure: each pending future retains its batch's device_get'd
+    # mask_probs; drain oldest-first beyond 2x the pool so host
+    # conversion slower than the device forward cannot accumulate every
+    # mask tensor in memory (ADVICE r2 low).  Order is preserved:
+    # futures are drained and extended FIFO.
+    max_inflight = 2 * workers
     with cf.ThreadPoolExecutor(max_workers=workers) as pool:
         for batch, indices in loader:
             timer.tic()
@@ -146,10 +153,11 @@ def compute_on_dataset(
                     kps,
                 )
             )
+            while len(futures) > max_inflight:
+                results.extend(futures.pop(0).result())
             n_images += sum(
                 1 for bi in range(len(indices)) if bi < dets.boxes.shape[0]
             )
-        results: List[dict] = []
         for f in futures:
             results.extend(f.result())
     if n_images:

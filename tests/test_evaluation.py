@@ -273,6 +273,49 @@ def test_keypoint_evaluator_protocol(tmp_path):
     assert ev2.summarize()["AP"] == 0.0
 
 
+def test_keypoint_less_gt_ignored_in_cell_without_detections(tmp_path):
+    """A (image, category) cell that has GTs but NO detections must
+    still apply the num_keypoints==0 ignore before counting npig
+    (ADVICE r2 medium: the merge used to sit after the no-dts early
+    return, inflating the recall denominator)."""
+    pts = [(10 + 3 * i, 20 + 2 * i) for i in range(17)]
+    gts = [
+        {
+            "image_id": 1,
+            "category_id": 1,
+            "bbox": [5.0, 15.0, 60.0, 45.0],
+            "keypoints": _kp_flat(pts),
+            "num_keypoints": 17,
+        },
+        {
+            # image 2: keypoint-less GT, and no detections submitted
+            "image_id": 2,
+            "category_id": 1,
+            "bbox": [5.0, 15.0, 60.0, 45.0],
+            "num_keypoints": 0,
+            "keypoints": _kp_flat(pts, vis=0),
+        },
+    ]
+    idx = make_index(tmp_path, gts)
+    ev = CocoStyleEvaluator(idx, "keypoints")
+    ev.update(
+        [
+            {
+                "image_id": 1,
+                "category_id": 1,
+                "bbox": [5.0, 15.0, 60.0, 45.0],
+                "score": 0.9,
+                "keypoints": _kp_flat(pts, vis=1),
+            }
+        ]
+    )
+    ev.accumulate()
+    s = ev.summarize()
+    # pycocotools: the image-2 GT is ignored everywhere, so the single
+    # perfect match yields AP == AR == 1.0 (not recall 1/2)
+    assert s["AP"] == 1.0 and s["AR@20"] == 1.0
+
+
 def test_detections_to_coco_results_keypoints():
     res = detections_to_coco_results(
         boxes=np.array([[10.0, 10.0, 50.0, 50.0]]),
