@@ -38,7 +38,12 @@ _pending = None  # (directory, path, keep) of an in-flight async save
 
 
 def _finalize(directory: str, path: str, keep: int):
-    """Publishes a completed checkpoint: last_checkpoint tag + prune."""
+    """Publishes a completed checkpoint: last_checkpoint tag + prune.
+    Primary-host only (every process calls save — orbax coordinates a
+    single writer via a cross-process barrier — but the tag file and
+    prune must happen once)."""
+    if jax.process_index() != 0:
+        return
     with open(os.path.join(directory, "last_checkpoint"), "w") as f:
         f.write(path)
     cks = sorted(
