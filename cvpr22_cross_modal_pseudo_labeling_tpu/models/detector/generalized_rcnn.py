@@ -34,6 +34,7 @@ from ..rpn.rpn import (
     RPNProposals,
     flatten_rpn_outputs,
     rpn_loss,
+    select_proposals_multi_level,
     select_proposals_single_level,
 )
 from ..roi_heads.box_head import (
@@ -169,49 +170,20 @@ class GeneralizedRCNN(nn.Module):
 
         pre = s.rpn_pre_nms_train if train else s.rpn_pre_nms_test
         post = s.rpn_post_nms_train if train else s.rpn_post_nms_test
-        # single-level path (C4/C5); FPN per-level selection handled by
-        # looping levels and concatenating (FPN configs are unused by the
-        # shipped experiments but supported).
-        if len(anchor_list) == 1:
-            proposals = select_proposals_single_level(
-                anchors,
-                objectness.astype(jnp.float32),
-                box_reg.astype(jnp.float32),
-                image_sizes,
-                pre,
-                post,
-                s.rpn_nms_thresh,
-                s.rpn_min_size,
-                s.nms_tile,
-            )
-        else:
-            offset = 0
-            parts = []
-            for lvl_anchors, of, rf in zip(anchor_list, obj_l, reg_l):
-                n = lvl_anchors.shape[0]
-                o = objectness[:, offset : offset + n]
-                r = box_reg[:, offset : offset + n]
-                parts.append(
-                    select_proposals_single_level(
-                        lvl_anchors, o.astype(jnp.float32),
-                        r.astype(jnp.float32), image_sizes, pre, post,
-                        s.rpn_nms_thresh, s.rpn_min_size, s.nms_tile,
-                    )
-                )
-                offset += n
-            boxes = jnp.concatenate([p.boxes for p in parts], axis=1)
-            scores = jnp.concatenate([p.scores for p in parts], axis=1)
-            valid = jnp.concatenate([p.valid for p in parts], axis=1)
-            # FPN top-N over the concatenated levels
-            keyed = jnp.where(valid, scores, -jnp.inf)
-            k = min(post, boxes.shape[1])
-            _, idx = jax.lax.top_k(keyed, k)
-            take = lambda a: jnp.take_along_axis(
-                a, idx[..., None] if a.ndim == 3 else idx, axis=1
-            )
-            proposals = RPNProposals(
-                take(boxes), take(scores), take(valid)
-            )
+        # C4/C5 = single level; FPN = per-level top-k + NMS then FPN
+        # top-N (reference rpn/inference.py:76-152), shared with the ST
+        # meta-architecture via select_proposals_multi_level
+        proposals = select_proposals_multi_level(
+            anchor_list,
+            objectness.astype(jnp.float32),
+            box_reg.astype(jnp.float32),
+            image_sizes,
+            pre,
+            post,
+            s.rpn_nms_thresh,
+            s.rpn_min_size,
+            s.nms_tile,
+        )
         return feats, objectness, box_reg, anchors, proposals
 
     def _extract_box_features(self, feats, boxes):

@@ -113,6 +113,62 @@ def select_proposals_single_level(
     return jax.tree_util.tree_map(jax.lax.stop_gradient, out)
 
 
+def select_proposals_multi_level(
+    anchor_list,
+    objectness: jnp.ndarray,
+    box_regression: jnp.ndarray,
+    image_sizes: jnp.ndarray,
+    pre_nms_top_n: int,
+    post_nms_top_n: int,
+    nms_thresh: float,
+    min_size: float,
+    nms_tile: int = 256,
+) -> RPNProposals:
+    """Reference rpn/inference.py:76-152 semantics for any number of
+    feature levels: per-level top-k -> decode -> NMS, then an FPN top-N
+    by objectness over the concatenated levels.  With one level this IS
+    select_proposals_single_level (C4/C5 path).
+
+    ``anchor_list`` is the per-level [N_l, 4] anchors whose
+    concatenation ordering matches ``objectness`` [B, sum(N_l)] /
+    ``box_regression`` [B, sum(N_l), 4] (flatten_rpn_outputs order).
+    """
+    if len(anchor_list) == 1:
+        return select_proposals_single_level(
+            anchor_list[0], objectness, box_regression, image_sizes,
+            pre_nms_top_n, post_nms_top_n, nms_thresh, min_size, nms_tile,
+        )
+    offset = 0
+    parts = []
+    for lvl_anchors in anchor_list:
+        n = lvl_anchors.shape[0]
+        parts.append(
+            select_proposals_single_level(
+                lvl_anchors,
+                objectness[:, offset : offset + n],
+                box_regression[:, offset : offset + n],
+                image_sizes,
+                pre_nms_top_n, post_nms_top_n,
+                nms_thresh, min_size, nms_tile,
+            )
+        )
+        offset += n
+    boxes = jnp.concatenate([p.boxes for p in parts], axis=1)
+    scores = jnp.concatenate([p.scores for p in parts], axis=1)
+    valid = jnp.concatenate([p.valid for p in parts], axis=1)
+    # FPN top-N over the concatenated levels (inference.py:137-152)
+    keyed = jnp.where(valid, scores, -jnp.inf)
+    k = min(post_nms_top_n, boxes.shape[1])
+    _, idx = jax.lax.top_k(keyed, k)
+
+    def take(a):
+        return jnp.take_along_axis(
+            a, idx[..., None] if a.ndim == 3 else idx, axis=1
+        )
+
+    return RPNProposals(take(boxes), take(scores), take(valid))
+
+
 def rpn_loss(
     anchors: jnp.ndarray,
     visibility: jnp.ndarray,
