@@ -97,10 +97,38 @@ class LVISParser:
                     continue
                 key = lemmatize_phrase(s).replace(" - ", "-")
                 self.look_up[key] = idx
+        # word inventory of the keys, for the gerund fallback below
+        self._key_words = set()
+        for key in self.look_up:
+            self._key_words.update(key.replace("-", " ").split())
+
+    def _degerund(self, tok: str) -> str:
+        """spaCy lemmatizes gerunds in verbal position to the verb stem
+        ("skiing" -> "ski"), which the reference relies on to catch
+        activity captions naming LVIS objects ("a man skiing" -> ski).
+        Context-free approximation: map an -ing token to its stem only
+        when the stem is a known key word and the token itself is not
+        (so noun gerunds that ARE categories, e.g. "painting", stay)."""
+        if (
+            not tok.endswith("ing")
+            or len(tok) <= 4
+            or tok in self._key_words
+        ):
+            return tok
+        cands = [tok[:-3]]
+        if len(tok) > 5 and tok[-4] == tok[-5]:
+            cands.append(tok[:-4])  # drumming -> drum
+        cands.append(tok[:-3] + "e")  # saute-type stems
+        for c in cands:
+            if c in self._key_words:
+                return c
+        return tok
 
     def parse(self, sentence: str) -> Tuple[List[str], List[int]]:
         """Returns (noun phrases, 0-based LVIS category ids)."""
-        lemma = lemmatize_phrase(sentence)
+        lemma = " ".join(
+            self._degerund(t) for t in lemmatize_phrase(sentence).split()
+        )
         padded = f" {lemma} "
         nns, ids = [], []
         for key, idx in self.look_up.items():
