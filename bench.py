@@ -163,6 +163,48 @@ def main():
     except Exception as e:  # cost analysis unsupported on this backend
         out["mfu_note"] = f"cost_analysis unavailable: {type(e).__name__}"
 
+    # secondary workloads (VERDICT r2 items 3-4: track MMSS + ST-distill
+    # in the driver-recorded line, not just BENCH_NOTES).  Run as
+    # subprocesses so their device memory is fully released; skip with
+    # BENCH_SKIP_EXTRA=1 (or on any failure) without losing the
+    # headline metric.
+    if os.environ.get("BENCH_SKIP_EXTRA") != "1":
+        import subprocess
+
+        here = os.path.dirname(os.path.abspath(__file__))
+
+        def sub_bench(args, prefix, keys):
+            try:
+                proc = subprocess.run(
+                    [sys.executable] + args,
+                    cwd=here,
+                    capture_output=True,
+                    text=True,
+                    timeout=3600,
+                )
+                line = [
+                    ln
+                    for ln in proc.stdout.strip().splitlines()
+                    if ln.startswith("{")
+                ][-1]
+                data = json.loads(line)
+                for k in keys:
+                    if k in data:
+                        out[f"{prefix}_{k}"] = data[k]
+            except Exception as e:
+                out[f"{prefix}_note"] = f"{type(e).__name__}"
+
+        sub_bench(
+            [os.path.join(here, "tools", "bench_mmss.py"), "global_b64"],
+            "mmss_b64",
+            ("value", "mfu_pct", "tflops_per_sec"),
+        )
+        sub_bench(
+            [os.path.join(here, "tools", "bench_st.py")],
+            "st_distill",
+            ("value", "pseudo_masks_per_sec", "mfu_pct", "step_ms"),
+        )
+
     print(json.dumps(out))
 
 

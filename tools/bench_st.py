@@ -144,17 +144,28 @@ def main():
         state, m = step(state, batch)
     jax.block_until_ready(m["total_loss"])
     dt = (time.perf_counter() - t0) / n
-    print(
-        json.dumps(
-            {
-                "metric": "st_distill_train_imgs_per_sec_per_chip",
-                "value": round(b / dt, 3),
-                "unit": "imgs/sec/chip",
-                "pseudo_masks_per_sec": round(b * nw / dt, 1),
-                "step_ms": round(dt * 1e3, 1),
-            }
-        )
-    )
+    out = {
+        "metric": "st_distill_train_imgs_per_sec_per_chip",
+        "value": round(b / dt, 3),
+        "unit": "imgs/sec/chip",
+        "pseudo_masks_per_sec": round(b * nw / dt, 1),
+        "step_ms": round(dt * 1e3, 1),
+    }
+    # FLOPs -> MFU (VERDICT r2 item 4: the paper's workload needs a
+    # roofline number too); XLA cost analysis of the compiled step
+    try:
+        cost = step.lower(state, batch).compile().cost_analysis()
+        if isinstance(cost, (list, tuple)):
+            cost = cost[0]
+        flops = float(cost.get("flops", 0.0))
+        if flops > 0:
+            achieved = flops / dt
+            out["flops_per_step"] = flops
+            out["tflops_per_sec"] = round(achieved / 1e12, 2)
+            out["mfu_pct"] = round(100.0 * achieved / 197e12, 2)
+    except Exception as e:
+        out["mfu_note"] = f"cost_analysis unavailable: {type(e).__name__}"
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":
