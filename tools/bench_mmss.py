@@ -24,6 +24,7 @@ import time
 sys.path.insert(
     0, os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 )
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 import numpy as np
 
@@ -113,6 +114,16 @@ def run_case(name, b, h, w, n_steps=10):
     jax.block_until_ready(metrics["total_loss"])
     state, metrics = step(state, batch)
     jax.block_until_ready(metrics["total_loss"])
+
+    trace_dir = os.environ.get("MMSS_PROFILE_DIR")
+    if trace_dir:
+        with jax.profiler.trace(trace_dir):
+            for _ in range(3):
+                state, metrics = step(state, batch)
+            float(metrics["total_loss"])
+        from profile_step import summarize_trace
+
+        summarize_trace(trace_dir, 3)
 
     t0 = time.perf_counter()
     for _ in range(n_steps):
