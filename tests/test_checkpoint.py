@@ -335,3 +335,55 @@ def test_async_checkpoint_pipelines_and_publishes(tmp_path):
     restored = load_checkpoint(latest_checkpoint(d))
     np.testing.assert_allclose(restored["state"]["w"], 2.0)
     assert int(restored["iteration"]) == 2
+
+
+def test_model_zoo_cache_url(tmp_path, monkeypatch):
+    """URL weight cache (reference utils/model_zoo.py cache_url +
+    checkpoint.py:132-154 resolution): file:// download into the cache
+    dir, Detectron model_final.pkl name flattening, cache hit without
+    re-download, hash-prefix verification, and the full
+    resolve_weight_path chain."""
+    import os
+
+    import pytest
+
+    from cvpr22_cross_modal_pseudo_labeling_tpu.utils.model_zoo import (
+        cache_url,
+        resolve_weight_path,
+    )
+
+    src = tmp_path / "weights-abcdef12.pth"
+    src.write_bytes(b"not-a-real-checkpoint")
+    cache = tmp_path / "zoo"
+    url = "file://" + str(src)
+
+    # hash prefix in the name mismatches the content -> rejected
+    with pytest.raises(FileNotFoundError):
+        cache_url(url, model_dir=str(cache))
+
+    import hashlib
+
+    digest = hashlib.sha256(src.read_bytes()).hexdigest()
+    good = tmp_path / f"weights-{digest[:8]}.pth"
+    good.write_bytes(src.read_bytes())
+    got = cache_url("file://" + str(good), model_dir=str(cache))
+    assert os.path.exists(got) and got.startswith(str(cache))
+
+    # cache hit: source removed, still resolves
+    good.unlink()
+    again = cache_url("file://" + str(good), model_dir=str(cache))
+    assert again == got
+
+    # Detectron flattening: every zoo model is model_final.pkl
+    mf = tmp_path / "35858791" / "model_final.pkl"
+    mf.parent.mkdir()
+    mf.write_bytes(b"c2")
+    got2 = cache_url("file://" + str(mf), model_dir=str(cache))
+    assert "model_final.pkl" in os.path.basename(got2)
+    assert os.path.basename(got2) != "model_final.pkl"  # flattened
+
+    # resolve chain passthrough + env-dir default
+    assert resolve_weight_path("") == ""
+    assert resolve_weight_path("/abs/path.pth") == "/abs/path.pth"
+    monkeypatch.setenv("CMPL_TPU_MODEL_ZOO", str(cache))
+    assert resolve_weight_path("file_not_url.pth") == "file_not_url.pth"

@@ -80,13 +80,18 @@ def main():
         )
     )({"params": jax.random.PRNGKey(0)}, images, sizes, class_emb)
 
+    from cvpr22_cross_modal_pseudo_labeling_tpu.utils.model_zoo import (
+        resolve_weight_path,
+    )
+
+    weight_path = resolve_weight_path(cfg.MODEL.WEIGHT)
     ckpt = args.ckpt or latest_checkpoint(cfg.OUTPUT_DIR)
     if ckpt and os.path.isdir(ckpt):
         restored = load_checkpoint(ckpt)  # raw tree; only params needed
         params = restored["state"]["params"]
         logger.info("loaded orbax checkpoint %s", ckpt)
-    elif cfg.MODEL.WEIGHT and os.path.exists(cfg.MODEL.WEIGHT):
-        sd = load_torch_checkpoint(cfg.MODEL.WEIGHT)
+    elif weight_path and os.path.exists(weight_path):
+        sd = load_torch_checkpoint(weight_path)
         sd = apply_reference_key_surgery(
             sd,
             backbone_prefix=cfg.MODEL.BACKBONE_PREFIX,

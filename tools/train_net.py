@@ -220,14 +220,13 @@ def train(cfg, logger):
             lambda r, im, sz, c: model.init(r, im, sz, c, train=True)
         )(rngs, images, sizes, captions)
 
-    # weight loading: catalog:// resolution, Caffe2 .pkl, or torch .pth
-    weight_path = cfg.MODEL.WEIGHT
-    if weight_path.startswith("catalog://"):
-        from cvpr22_cross_modal_pseudo_labeling_tpu.data.paths_catalog import (
-            ModelCatalog,
-        )
+    # weight loading: catalog:// / URL-cache resolution, Caffe2 .pkl,
+    # or torch .pth (reference checkpoint.py:132-154 chain)
+    from cvpr22_cross_modal_pseudo_labeling_tpu.utils.model_zoo import (
+        resolve_weight_path,
+    )
 
-        weight_path = ModelCatalog.get(weight_path)
+    weight_path = resolve_weight_path(cfg.MODEL.WEIGHT)
     if weight_path and weight_path.endswith(".pkl") and os.path.exists(
         weight_path
     ):
