@@ -35,7 +35,6 @@ from ..rpn.rpn import (
     flatten_rpn_outputs,
     rpn_loss,
     select_proposals_multi_level,
-    select_proposals_single_level,
 )
 from ..roi_heads.box_head import (
     BoxPredictor,
