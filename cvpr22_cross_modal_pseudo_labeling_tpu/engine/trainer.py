@@ -21,7 +21,16 @@ import numpy as np
 from ..utils.logger import get_logger
 from ..utils.metric_logger import MetricLogger
 from .checkpoint import flush_pending_checkpoint, save_checkpoint
-from .train_step import batch_shardings
+from .train_step import (
+    _ALWAYS_REPLICATED_KEYS,
+    _REPLICATED_BATCH_KEYS,
+    batch_shardings,
+)
+
+# batch keys every host carries in full (vs per-host batch shards)
+_HOST_FULL_KEYS = frozenset(
+    _REPLICATED_BATCH_KEYS + _ALWAYS_REPLICATED_KEYS
+)
 
 
 class SummaryWriter:
@@ -59,15 +68,23 @@ class SummaryWriter:
         self._jsonl.close()
 
 
-def _place(local: np.ndarray, sharding):
+def _place(local: np.ndarray, sharding, host_holds_full: bool = False):
     """Puts a host-local batch array onto the mesh.  Single-process:
-    plain device_put.  Multi-process: the loader yields each process's
-    slice of the global batch (IMS_PER_BATCH // num_hosts,
-    data/build.py:183-191), so the global array is assembled from the
+    plain device_put.  Multi-process: per-batch arrays are each
+    process's slice of the global batch (IMS_PER_BATCH // num_hosts,
+    data/build.py:183-191), assembled into the global array from the
     process-local shards — the DDP scatter equivalent (reference splits
-    the global batch the same way, data/build.py:118-123)."""
+    the global batch the same way, data/build.py:118-123).  Class-
+    embedding tables (``host_holds_full``) exist in FULL on every host
+    whatever their device sharding (replicated, or model-axis vocab
+    sharding that may span processes), so each process serves its
+    addressable shards by slicing its full copy."""
     if jax.process_count() == 1:
         return jax.device_put(local, sharding)
+    if host_holds_full:
+        return jax.make_array_from_callback(
+            local.shape, sharding, lambda idx: local[idx]
+        )
     return jax.make_array_from_process_local_data(sharding, local)
 
 
@@ -128,7 +145,11 @@ def do_train(
         if shardings is None:
             shardings = batch_shardings(batch, mesh)
         batch = {
-            k: _place(np.asarray(v), shardings[k])
+            k: _place(
+                np.asarray(v),
+                shardings[k],
+                host_holds_full=k in _HOST_FULL_KEYS,
+            )
             for k, v in batch.items()
             if isinstance(v, np.ndarray)
         }

@@ -117,10 +117,14 @@ _TRAIN_WORKER = textwrap.dedent(
     mesh = make_mesh(("data",), (-1,))
     assert mesh.devices.size == 2, mesh  # one CPU device per process
 
-    # the same global problem on both processes; each feeds its half
+    # the same global problem on both processes; each feeds its half.
+    # "class_embeddings" rides the host-holds-full placement path (the
+    # real embedding tables exist in full on every host) and biases the
+    # targets so a mis-assembled table would change the result.
     rng = np.random.RandomState(0)
     X = rng.randn(8, 3).astype(np.float32)
     Y = rng.randn(8, 1).astype(np.float32)
+    T = rng.randn(4, 1).astype(np.float32)  # full on BOTH processes
     local = slice(pid * 4, (pid + 1) * 4)
 
     tx = optax.sgd(0.1)
@@ -129,19 +133,22 @@ _TRAIN_WORKER = textwrap.dedent(
     def step(state, batch):
         def loss_fn(p):
             pred = batch["x"] @ p["params"]["w"]
-            return jnp.mean((pred - batch["y"]) ** 2)
+            target = batch["y"] + jnp.sum(batch["class_embeddings"])
+            return jnp.mean((pred - target) ** 2)
 
         loss, grads = jax.value_and_grad(loss_fn)(state.params)
         return _apply_update(state, grads, tx), {"total_loss": loss}
 
     state = create_train_state(params, tx, jax.random.PRNGKey(0))
-    example = {"x": X[local], "y": Y[local]}
+    example = {"x": X[local], "y": Y[local], "class_embeddings": T}
     step_j = jit_train_step(step, mesh, example)
 
     class Loader:
         def __iter__(self):
             for _ in range(3):
-                yield {"x": X[local], "y": Y[local]}, [0]
+                yield {
+                    "x": X[local], "y": Y[local], "class_embeddings": T
+                }, [0]
 
     cfg = get_default_cfg()
     cfg.SOLVER.MAX_ITER = 3
@@ -156,8 +163,9 @@ _TRAIN_WORKER = textwrap.dedent(
 
     # single-process oracle: full-batch GD on the concatenated data
     w = np.zeros((3, 1), np.float32)
+    Yt = Y + np.sum(T)
     for _ in range(3):
-        grad = 2.0 * X.T @ (X @ w - Y) / 8.0
+        grad = 2.0 * X.T @ (X @ w - Yt) / 8.0
         w = w - 0.1 * grad
     got = np.asarray(jax.device_get(final.params["params"]["w"]))
     np.testing.assert_allclose(got, w, rtol=1e-5, atol=1e-6)
