@@ -161,6 +161,20 @@ _C.MODEL.FBNET.BN_TYPE = "bn"
 _C.MODEL.FBNET.DW_CONV_SKIP_BN = True
 _C.MODEL.FBNET.DW_CONV_SKIP_RELU = True
 _C.MODEL.FBNET.ARCH_DEF = ""
+# FBNet det/kpts/mask head stages + RPN head blocks: accepted for YAML
+# compatibility but inert — dead in every reference config (COVERAGE.md
+# "deliberately not rebuilt"; reference defaults.py:110-128)
+_C.MODEL.FBNET.RPN_HEAD_BLOCKS = 0
+_C.MODEL.FBNET.RPN_BN_TYPE = ""
+_C.MODEL.FBNET.DET_HEAD_BLOCKS = []
+_C.MODEL.FBNET.DET_HEAD_STRIDE = 0
+_C.MODEL.FBNET.DET_HEAD_LAST_SCALE = 1.0
+_C.MODEL.FBNET.KPTS_HEAD_BLOCKS = []
+_C.MODEL.FBNET.KPTS_HEAD_STRIDE = 0
+_C.MODEL.FBNET.KPTS_HEAD_LAST_SCALE = 0.0
+_C.MODEL.FBNET.MASK_HEAD_BLOCKS = []
+_C.MODEL.FBNET.MASK_HEAD_STRIDE = 0
+_C.MODEL.FBNET.MASK_HEAD_LAST_SCALE = 0.0
 
 _C.MODEL.FPN = CN()
 _C.MODEL.FPN.USE_GN = False
@@ -272,6 +286,9 @@ _C.MODEL.RESNETS.STEM_OUT_CHANNELS = 64
 _C.MODEL.RESNETS.STAGE_WITH_DCN = (False, False, False, False)
 _C.MODEL.RESNETS.WITH_MODULATED_DCN = False
 _C.MODEL.RESNETS.DEFORMABLE_GROUPS = 1
+# Declared by the reference but never read anywhere in its code
+# (reference defaults.py:380) — accepted for YAML compatibility, inert.
+_C.MODEL.RESNETS.DAT_TESTING = -1
 
 # ---------------------------------------------------------------------------
 # RetinaNet (parity; not used by shipped configs)

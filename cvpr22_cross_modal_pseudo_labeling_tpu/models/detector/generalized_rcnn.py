@@ -182,6 +182,10 @@ class GeneralizedRCNN(nn.Module):
             s.rpn_nms_thresh,
             s.rpn_min_size,
             s.nms_tile,
+            fpn_post_nms_top_n=(
+                s.fpn_post_nms_train if train else s.fpn_post_nms_test
+            ),
+            fpn_post_nms_per_batch=train and s.fpn_post_nms_per_batch,
         )
         return feats, objectness, box_reg, anchors, proposals
 

@@ -253,6 +253,10 @@ class STGeneralizedRCNN(nn.Module):
             s.rpn_nms_thresh,
             s.rpn_min_size,
             s.nms_tile,
+            fpn_post_nms_top_n=(
+                s.fpn_post_nms_train if train_selector else s.fpn_post_nms_test
+            ),
+            fpn_post_nms_per_batch=train_selector and s.fpn_post_nms_per_batch,
         )
         return anchors, objectness, box_reg, proposals
 
@@ -629,6 +633,7 @@ class STGeneralizedRCNN(nn.Module):
             sb.rpn_nms_thresh,
             sb.rpn_min_size,
             sb.nms_tile,
+            fpn_post_nms_top_n=sb.fpn_post_nms_test,
         )
         embs = self.combine_embs(class_embeddings)
         x = self.student.extract(feats, proposals.boxes)

@@ -32,6 +32,10 @@ class RCNNStatics(NamedTuple):
     rpn_post_nms_test: int = 1000
     rpn_nms_thresh: float = 0.7
     rpn_min_size: float = 0.0
+    # FPN cross-level selection (reference rpn/inference.py:154-181)
+    fpn_post_nms_train: int = 2000
+    fpn_post_nms_test: int = 2000
+    fpn_post_nms_per_batch: bool = True
     rpn_dont_train: bool = False
     rpn_only: bool = False
     # roi heads
@@ -111,6 +115,9 @@ def statics_from_cfg(cfg) -> RCNNStatics:
         rpn_post_nms_test=m.RPN.POST_NMS_TOP_N_TEST,
         rpn_nms_thresh=m.RPN.NMS_THRESH,
         rpn_min_size=float(m.RPN.MIN_SIZE),
+        fpn_post_nms_train=m.RPN.FPN_POST_NMS_TOP_N_TRAIN,
+        fpn_post_nms_test=m.RPN.FPN_POST_NMS_TOP_N_TEST,
+        fpn_post_nms_per_batch=m.RPN.FPN_POST_NMS_PER_BATCH,
         rpn_dont_train=m.RPN.DONT_TRAIN,
         rpn_only=m.RPN_ONLY,
         roi_fg_iou=m.ROI_HEADS.FG_IOU_THRESHOLD,

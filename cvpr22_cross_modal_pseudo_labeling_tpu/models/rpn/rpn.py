@@ -123,11 +123,23 @@ def select_proposals_multi_level(
     nms_thresh: float,
     min_size: float,
     nms_tile: int = 256,
+    fpn_post_nms_top_n: int = 0,
+    fpn_post_nms_per_batch: bool = False,
 ) -> RPNProposals:
-    """Reference rpn/inference.py:76-152 semantics for any number of
-    feature levels: per-level top-k -> decode -> NMS, then an FPN top-N
-    by objectness over the concatenated levels.  With one level this IS
-    select_proposals_single_level (C4/C5 path).
+    """Reference rpn/inference.py:76-181 semantics for any number of
+    feature levels: per-level top-k -> decode -> NMS -> per-level
+    post_nms_top_n, then an FPN top-N by objectness over the
+    concatenated levels using ``fpn_post_nms_top_n`` (defaults to
+    post_nms_top_n like the reference's None fallback, inference.py:
+    48-49).  With one level this IS select_proposals_single_level
+    (C4/C5 path).
+
+    ``fpn_post_nms_per_batch`` reproduces the Detectron quirk
+    (inference.py:156-171 + Issue #672): in training the top-N is over
+    the whole batch's concatenated objectness, not per image — here a
+    batch-global top-N scatter mask over the flattened scores (same
+    lowest-index tie-breaking as ``torch.topk``), with the padded
+    per-image layout kept and validity masking the cut.
 
     ``anchor_list`` is the per-level [N_l, 4] anchors whose
     concatenation ordering matches ``objectness`` [B, sum(N_l)] /
@@ -138,6 +150,7 @@ def select_proposals_multi_level(
             anchor_list[0], objectness, box_regression, image_sizes,
             pre_nms_top_n, post_nms_top_n, nms_thresh, min_size, nms_tile,
         )
+    fpn_top_n = fpn_post_nms_top_n or post_nms_top_n
     offset = 0
     parts = []
     for lvl_anchors in anchor_list:
@@ -156,9 +169,17 @@ def select_proposals_multi_level(
     boxes = jnp.concatenate([p.boxes for p in parts], axis=1)
     scores = jnp.concatenate([p.scores for p in parts], axis=1)
     valid = jnp.concatenate([p.valid for p in parts], axis=1)
-    # FPN top-N over the concatenated levels (inference.py:137-152)
     keyed = jnp.where(valid, scores, -jnp.inf)
-    k = min(post_nms_top_n, boxes.shape[1])
+    k = min(fpn_top_n, boxes.shape[1])
+    if fpn_post_nms_per_batch:
+        # batch-global top-N scatter mask (inference.py:162-171)
+        flat = keyed.reshape(-1)
+        n_keep = min(fpn_top_n, flat.shape[0])
+        _, flat_idx = jax.lax.top_k(flat, n_keep)
+        keep = (
+            jnp.zeros(flat.shape[0], bool).at[flat_idx].set(True)
+        ).reshape(keyed.shape)
+        keyed = jnp.where(keep, keyed, -jnp.inf)
     _, idx = jax.lax.top_k(keyed, k)
 
     def take(a):
@@ -166,7 +187,12 @@ def select_proposals_multi_level(
             a, idx[..., None] if a.ndim == 3 else idx, axis=1
         )
 
-    return RPNProposals(take(boxes), take(scores), take(valid))
+    out_valid = take(valid)
+    if fpn_post_nms_per_batch:
+        out_valid = out_valid & (
+            jnp.take_along_axis(keyed, idx, axis=1) > -jnp.inf
+        )
+    return RPNProposals(take(boxes), take(scores), out_valid)
 
 
 def rpn_loss(

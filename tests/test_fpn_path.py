@@ -161,3 +161,60 @@ def test_fbnet_via_build_backbone():
     )
     (y,) = mod.apply(params, jnp.zeros((1, 32, 32, 3)))
     assert y.shape == (1, 2, 2, 96)
+
+
+def test_fpn_post_nms_top_n_per_image_and_per_batch():
+    """Reference rpn/inference.py:154-181: after per-level NMS the FPN
+    stage keeps fpn_post_nms_top_n proposals — per image at test time,
+    over the whole batch's concatenated objectness in training
+    (Detectron Issue #672 quirk)."""
+    from cvpr22_cross_modal_pseudo_labeling_tpu.models.rpn.rpn import (
+        select_proposals_multi_level,
+    )
+
+    rng = np.random.RandomState(3)
+    # two levels of well-separated anchors so NMS keeps everything
+    def grid(n, step, size):
+        xs = (np.arange(n) * step).astype(np.float32)
+        return np.stack(
+            [xs, np.zeros(n, np.float32), xs + size, np.full(n, size, np.float32)],
+            axis=1,
+        )
+
+    anchor_list = [jnp.asarray(grid(8, 40.0, 16.0)), jnp.asarray(grid(6, 50.0, 20.0))]
+    n_tot = 14
+    b = 2
+    obj = jnp.asarray(rng.randn(b, n_tot).astype(np.float32)) * 4.0
+    reg = jnp.zeros((b, n_tot, 4), jnp.float32)
+    sizes = jnp.full((b, 2), 512.0, jnp.float32)
+
+    common = dict(
+        image_sizes=sizes, pre_nms_top_n=16, post_nms_top_n=16,
+        nms_thresh=0.7, min_size=0.0, nms_tile=32,
+    )
+    # per-image: each image independently keeps its top-5
+    out = select_proposals_multi_level(
+        anchor_list, obj, reg, fpn_post_nms_top_n=5,
+        fpn_post_nms_per_batch=False, **common,
+    )
+    assert out.boxes.shape[1] == 5
+    assert np.asarray(out.valid).sum(axis=1).tolist() == [5, 5]
+    scores = jax.nn.sigmoid(np.sort(np.asarray(obj), axis=1)[:, ::-1][:, :5])
+    np.testing.assert_allclose(
+        np.sort(np.asarray(out.scores), axis=1)[:, ::-1], scores, rtol=1e-6
+    )
+
+    # per-batch: top-5 over both images' concatenated objectness —
+    # images get unequal shares
+    out_b = select_proposals_multi_level(
+        anchor_list, obj, reg, fpn_post_nms_top_n=5,
+        fpn_post_nms_per_batch=True, **common,
+    )
+    valid = np.asarray(out_b.valid)
+    assert valid.sum() == 5
+    flat_scores = jax.nn.sigmoid(np.asarray(obj).reshape(-1))
+    expect = set(np.round(np.sort(flat_scores)[::-1][:5], 6).tolist())
+    got = set(
+        np.round(np.asarray(out_b.scores)[valid], 6).tolist()
+    )
+    assert got == expect
