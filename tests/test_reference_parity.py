@@ -845,3 +845,117 @@ def test_wsddn_head_and_loss_parity():
         image_scores, jnp.asarray(labels), background_weight=0.3
     )
     np.testing.assert_allclose(float(ours_l), float(ref_l), rtol=2e-5)
+
+
+def test_rpn_postprocessor_multilevel_fpn_parity():
+    """Multi-level selection vs the reference RPNPostProcessor
+    (rpn/inference.py:125-181): per-level top-k/NMS then the FPN
+    cross-level top-N — eval's per-image sort and training's
+    per-batch Detectron-quirk mask (Issue #672)."""
+    from cvpr22_cross_modal_pseudo_labeling_tpu.models.rpn.anchors import (
+        build_anchors_for_levels,
+    )
+    from cvpr22_cross_modal_pseudo_labeling_tpu.models.rpn.rpn import (
+        select_proposals_multi_level,
+    )
+
+    rpn_inf = ref_module("modeling.rpn.inference")
+    ag = ref_module("modeling.rpn.anchor_generator")
+    ImageList = ref_module("structures.image_list").ImageList
+    BoxCoder = ref_module("modeling.box_coder").BoxCoder
+
+    strides = (8, 16, 32)
+    sizes = (64, 128, 256)
+    ratios = (0.5, 1.0, 2.0)
+    A = len(ratios)
+    shapes = [(40, 34), (20, 17), (10, 9)]
+    img_sizes = [(320, 272), (300, 250)]
+    B = len(img_sizes)
+    rng = np.random.RandomState(11)
+    objs = [rng.randn(B, A, h, w).astype(np.float32) for h, w in shapes]
+    regs = [
+        (rng.randn(B, A * 4, h, w) * 0.4).astype(np.float32)
+        for h, w in shapes
+    ]
+
+    gen = ag.AnchorGenerator(
+        sizes=tuple((s,) for s in sizes), aspect_ratios=ratios,
+        anchor_strides=strides, straddle_thresh=0,
+    )
+    il = ImageList(
+        torch.zeros(B, 3, 320, 272), [(hh, ww) for hh, ww in img_sizes]
+    )
+    anchors_per_img = gen(
+        il, [torch.zeros(B, 1, h, w) for h, w in shapes]
+    )
+
+    anchor_list = build_anchors_for_levels(shapes, strides, sizes, ratios)
+    obj_flat = np.concatenate(
+        [o.transpose(0, 2, 3, 1).reshape(B, -1) for o in objs], axis=1
+    )
+    reg_flat = np.concatenate(
+        [
+            r.reshape(B, A, 4, h, w).transpose(0, 3, 4, 1, 2).reshape(B, -1, 4)
+            for r, (h, w) in zip(regs, shapes)
+        ],
+        axis=1,
+    )
+
+    def run_ref(train, per_batch):
+        post = rpn_inf.RPNPostProcessor(
+            pre_nms_top_n=100, post_nms_top_n=30, nms_thresh=0.7, min_size=0,
+            box_coder=BoxCoder(weights=(1.0, 1.0, 1.0, 1.0)),
+            fpn_post_nms_top_n=40, fpn_post_nms_per_batch=per_batch,
+        )
+        post.train(train)
+        return post(
+            anchors_per_img,
+            [torch.from_numpy(o) for o in objs],
+            [torch.from_numpy(r) for r in regs],
+        )
+
+    def run_ours(per_batch):
+        return select_proposals_multi_level(
+            anchor_list,
+            jnp.asarray(obj_flat),
+            jnp.asarray(reg_flat),
+            jnp.asarray(img_sizes, jnp.int32),
+            100, 30, 0.7, 0.0, nms_tile=64,
+            fpn_post_nms_top_n=40, fpn_post_nms_per_batch=per_batch,
+        )
+
+    # eval: per-image FPN top-N, descending objectness order
+    ref_out = run_ref(train=False, per_batch=False)
+    props = run_ours(per_batch=False)
+    for bi in range(B):
+        ref_boxes = ref_out[bi].bbox.numpy()
+        ref_scores = ref_out[bi].get_field("objectness").numpy()
+        n = len(ref_boxes)
+        assert int(np.asarray(props.valid[bi]).sum()) == n
+        np.testing.assert_allclose(
+            np.asarray(props.boxes[bi])[:n], ref_boxes, rtol=1e-4, atol=2e-3
+        )
+        np.testing.assert_allclose(
+            np.asarray(props.scores[bi])[:n], ref_scores, rtol=1e-5, atol=1e-5
+        )
+
+    # train: per-batch top-N over the whole batch's objectness; the
+    # reference keeps concat order, ours sorts — compare per-image sets
+    ref_out = run_ref(train=True, per_batch=True)
+    props = run_ours(per_batch=True)
+    for bi in range(B):
+        ref_scores = np.sort(
+            ref_out[bi].get_field("objectness").numpy()
+        )[::-1]
+        valid = np.asarray(props.valid[bi])
+        got = np.sort(np.asarray(props.scores[bi])[valid])[::-1]
+        assert len(got) == len(ref_scores)
+        np.testing.assert_allclose(got, ref_scores, rtol=1e-5, atol=1e-5)
+        ref_boxes = ref_out[bi].bbox.numpy()
+        order_ref = np.argsort(
+            -ref_out[bi].get_field("objectness").numpy(), kind="stable"
+        )
+        ours_boxes = np.asarray(props.boxes[bi])[valid]
+        np.testing.assert_allclose(
+            ours_boxes, ref_boxes[order_ref], rtol=1e-4, atol=2e-3
+        )
