@@ -169,24 +169,33 @@ class MMSSGridModel(nn.Module):
                 vocab_size=s.vocab_size, hidden_size=s.l_dim
             )
         else:
+            # compute dtype reaches the full language/VL stack, not just
+            # the conv backbone: the BERT encoder, v2l projections and
+            # both heads' matmuls run on the MXU at the bf16 rate while
+            # params and every loss/softmax stay float32
             self.language_backbone = BertModel(
                 vocab_size=s.vocab_size,
                 hidden_size=s.l_dim,
                 num_layers=s.bert_layers,
                 num_heads=s.bert_heads,
                 intermediate_size=s.bert_intermediate,
+                dtype=dtype,
             )
         if s.tie_vl:
-            self.v2l_shared = nn.Dense(s.l_dim, name="v2l_projection")
+            self.v2l_shared = nn.Dense(
+                s.l_dim, dtype=dtype, name="v2l_projection"
+            )
         else:
             self.v2l_per_head = {
-                h: nn.Dense(s.l_dim, name=f"v2l_projection_{h}")
+                h: nn.Dense(s.l_dim, dtype=dtype, name=f"v2l_projection_{h}")
                 for h in s.heads
             }
         if "GroundingHead" in s.heads:
-            self.grounding_head = GroundingHead(s.grounding, s.l_dim)
+            self.grounding_head = GroundingHead(
+                s.grounding, s.l_dim, compute_dtype=dtype
+            )
         if "TransformerHead" in s.heads:
-            self.transformer_head = TransformerHead(s.transformer)
+            self.transformer_head = TransformerHead(s.transformer, dtype=dtype)
 
     def __call__(
         self,

@@ -40,6 +40,10 @@ def _one_hot_argmax(sim, axis, num):
 class GroundingHead(nn.Module):
     statics: GroundingStatics
     l_dim: int = 768
+    # dtype of the MXU contractions (the B^2 WxR similarity and the
+    # reconstruction einsums); accumulation and all loss/softmax math
+    # stay float32
+    compute_dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(
@@ -53,6 +57,12 @@ class GroundingHead(nn.Module):
         s = self.statics
         b, r, d = image_emb.shape
         w = caption_emb.shape[1]
+        cd = self.compute_dtype
+        cap_c = caption_emb.astype(cd)
+        img_c = image_emb.astype(cd)
+        # loss-side math (norms, mse, softmaxes) runs in float32
+        caption_emb = caption_emb.astype(jnp.float32)
+        image_emb = image_emb.astype(jnp.float32)
         cmask = caption_mask.astype(jnp.float32)
         rmask = region_mask.astype(jnp.float32)
         num_words = cmask.sum(axis=1)
@@ -61,13 +71,19 @@ class GroundingHead(nn.Module):
         pairwise = s.loss_type in ("cross_entropy", "triplet")
         if pairwise:
             # sim[i, j, w, r]: caption i vs image j
-            sim = jnp.einsum("iwd,jrd->ijwr", caption_emb, image_emb)
+            sim = jnp.einsum(
+                "iwd,jrd->ijwr", cap_c, img_c,
+                preferred_element_type=jnp.float32,
+            )
             pair_cmask = cmask[:, None, :, None]  # [B,1,W,1]
             pair_rmask = rmask[None, :, None, :]  # [1,B,1,R]
             nw = jnp.broadcast_to(num_words[:, None], (b, b))
             nr = jnp.broadcast_to(num_regions[None, :], (b, b))
         else:
-            sim = jnp.einsum("bwd,brd->bwr", caption_emb, image_emb)
+            sim = jnp.einsum(
+                "bwd,brd->bwr", cap_c, img_c,
+                preferred_element_type=jnp.float32,
+            )
             pair_cmask = cmask[:, :, None]
             pair_rmask = rmask[:, None, :]
             nw, nr = num_words, num_regions
@@ -184,23 +200,33 @@ class GroundingHead(nn.Module):
         elif s.global_metric == "reconstruction_mse":
             if s.align_words:
                 if pairwise:
-                    rec = jnp.einsum("ijwr,jrd->ijwd", attention_w2r, image_emb)
+                    rec = jnp.einsum(
+                        "ijwr,jrd->ijwd", attention_w2r.astype(cd), img_c,
+                        preferred_element_type=jnp.float32,
+                    )
                     err = jnp.mean((rec - caption_emb[:, None]) ** 2, axis=-1)
                     gd_w2r = jnp.sum(err * cmask[:, None, :], axis=-1)
                 else:
-                    rec = jnp.einsum("bwr,brd->bwd", attention_w2r, image_emb)
+                    rec = jnp.einsum(
+                        "bwr,brd->bwd", attention_w2r.astype(cd), img_c,
+                        preferred_element_type=jnp.float32,
+                    )
                     err = jnp.mean((rec - caption_emb) ** 2, axis=-1)
                     gd_w2r = jnp.sum(err * cmask, axis=-1)
                 gd_w2r = gd_w2r / jnp.maximum(nw, one)
             if s.align_regions:
                 if pairwise:
                     rec = jnp.einsum(
-                        "ijwr,iwd->ijrd", attention_r2w, caption_emb
+                        "ijwr,iwd->ijrd", attention_r2w.astype(cd), cap_c,
+                        preferred_element_type=jnp.float32,
                     )
                     err = jnp.mean((rec - image_emb[None]) ** 2, axis=-1)
                     gd_r2w = jnp.sum(err * rmask[None], axis=-1)
                 else:
-                    rec = jnp.einsum("bwr,bwd->brd", attention_r2w, caption_emb)
+                    rec = jnp.einsum(
+                        "bwr,bwd->brd", attention_r2w.astype(cd), cap_c,
+                        preferred_element_type=jnp.float32,
+                    )
                     err = jnp.mean((rec - image_emb) ** 2, axis=-1)
                     gd_r2w = jnp.sum(err * rmask, axis=-1)
                 gd_r2w = gd_r2w / jnp.maximum(nr, one)

@@ -56,6 +56,9 @@ class VisualEmbedding(nn.Module):
 
 class TransformerHead(nn.Module):
     statics: TransformerHeadStatics
+    # computation dtype of the multimodal encoder / MLM decoder matmuls;
+    # params and loss/softmax math stay float32
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(
@@ -74,7 +77,7 @@ class TransformerHead(nn.Module):
         w = encoded_tokens.shape[1]
 
         visual = VisualEmbedding(
-            s.hidden_size, name="visual_emb"
+            s.hidden_size, dtype=self.dtype, name="visual_emb"
         )(image_emb, region_loc)
 
         encoder = BertEncoder(
@@ -83,19 +86,25 @@ class TransformerHead(nn.Module):
             num_heads=s.num_heads,
             intermediate_size=s.intermediate_size,
             layer_norm_eps=s.layer_norm_eps,
+            dtype=self.dtype,
             name="encoder",
         )
-        pooler = nn.Dense(s.hidden_size, name="pooler")
+        pooler = nn.Dense(s.hidden_size, dtype=self.dtype, name="pooler")
         seq_rel = nn.Dense(2, name="seq_relationship")
         # MLM transform + tied decoder (transformer_head.py:53-58)
-        mlm_transform = nn.Dense(s.hidden_size, name="mlm_transform")
+        mlm_transform = nn.Dense(
+            s.hidden_size, dtype=self.dtype, name="mlm_transform"
+        )
         mlm_ln = nn.LayerNorm(epsilon=s.layer_norm_eps, name="mlm_ln")
         mlm_bias = self.param(
             "mlm_bias", nn.initializers.zeros, (s.vocab_size,)
         )
 
         def run(tokens_t, mask_t, tokens_v, mask_v):
-            x = jnp.concatenate([tokens_t, tokens_v], axis=1)
+            x = jnp.concatenate(
+                [tokens_t.astype(self.dtype), tokens_v.astype(self.dtype)],
+                axis=1,
+            )
             m = jnp.concatenate([mask_t, mask_v], axis=1) > 0
             seq = encoder(x, m)
             pooled = jnp.tanh(pooler(seq[:, 0]))
@@ -111,7 +120,13 @@ class TransformerHead(nn.Module):
         seq_t = seq_diag[:, :w]
         h = mlm_ln(nn.gelu(mlm_transform(seq_t), approximate=False))
         mlm_logits = (
-            jnp.einsum("bwh,vh->bwv", h, word_table) + mlm_bias
+            jnp.einsum(
+                "bwh,vh->bwv",
+                h.astype(self.dtype),
+                word_table.astype(self.dtype),
+                preferred_element_type=jnp.float32,
+            )
+            + mlm_bias
         )
         tgt = jnp.where(mlm_mask > 0, target_ids, -1)
         valid = tgt >= 0

@@ -162,3 +162,60 @@ def test_mmss_model_forward():
     assert any("Cross-Entropy" in k for k in losses)
     for k, v in losses.items():
         assert np.isfinite(float(v)), (k, float(v))
+
+
+def test_mmss_model_bfloat16_matches_float32():
+    """Mixed precision (TPU.COMPUTE_DTYPE=bfloat16) runs the BERT/head
+    matmuls in bf16 with fp32 params/losses; with identical params the
+    loss dict must track the fp32 one closely."""
+    cfg = mmss_tiny_cfg()
+    statics = mmss_statics_from_cfg(cfg)._replace(
+        l_dim=32, vocab_size=64, bert_layers=2, bert_heads=2,
+        bert_intermediate=32, mask_token_id=4,
+    )
+    model32 = MMSSGridModel(statics)
+    cfg.TPU.COMPUTE_DTYPE = "bfloat16"
+    statics16 = mmss_statics_from_cfg(cfg)._replace(
+        l_dim=32, vocab_size=64, bert_layers=2, bert_heads=2,
+        bert_intermediate=32, mask_token_id=4,
+    )
+    model16 = MMSSGridModel(statics16)
+    assert statics16.backbone.compute_dtype == "bfloat16"
+
+    b, w = 2, 10
+    images = jnp.zeros((b, 64, 64, 3))
+    image_sizes = jnp.array([[64, 64], [32, 48]])
+    rng = np.random.RandomState(0)
+    captions = {
+        "input_ids": jnp.asarray(rng.randint(5, 64, (b, w)), jnp.int32),
+        "attention_mask": jnp.ones((b, w), jnp.int32),
+        "special_tokens_mask": jnp.asarray(
+            np.eye(1, w, 0, dtype=np.int32).repeat(b, 0)
+        ),
+    }
+    rngs = {
+        "params": jax.random.PRNGKey(0),
+        "dropout": jax.random.PRNGKey(1),
+        "mlm": jax.random.PRNGKey(2),
+    }
+    params = model32.init(rngs, images, image_sizes, captions, train=True)
+    # params are float32 in both modes
+    assert all(
+        p.dtype == jnp.float32
+        for p in jax.tree_util.tree_leaves(params["params"])
+    )
+    apply_rngs = {
+        "dropout": jax.random.PRNGKey(3),
+        "mlm": jax.random.PRNGKey(4),
+    }
+    _, l32 = model32.apply(
+        params, images, image_sizes, captions, train=True, rngs=apply_rngs
+    )
+    _, l16 = model16.apply(
+        params, images, image_sizes, captions, train=True, rngs=apply_rngs
+    )
+    assert set(l32) == set(l16)
+    for k in l32:
+        a, bb = float(l32[k]), float(l16[k])
+        assert np.isfinite(bb), k
+        assert abs(a - bb) <= 0.05 * max(1.0, abs(a)), (k, a, bb)

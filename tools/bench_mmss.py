@@ -7,7 +7,10 @@ Two measurements:
 
 * ``per_chip``   — the full train step at the per-chip batch
   (64 global / 8 chips = 8) at production image shape 800x1344,
-  R-50-C5 + BERT + GroundingHead + TransformerHead (MLM on).
+  R-50-C5 + BERT + GroundingHead + TransformerHead (MLM on, and the
+  B^2 pairwise matching loss of the shipped mmss.yaml — a per-chip
+  local-batch loss, 64 pairs at b=8, matching the reference's
+  per-GPU computation).
 * ``global_b64`` — the full step at B=64 with 320x320 images: the
   10x10 grid equals the SPATIAL_DROPOUT=100 region count, so the
   grounding/transformer heads run at their exact global-batch shapes
@@ -29,7 +32,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 import numpy as np
 
 
-def build(cfg_overrides=None):
+def build(cfg_overrides=None, mmm=False):
     from cvpr22_cross_modal_pseudo_labeling_tpu.config import get_default_cfg
 
     cfg = get_default_cfg()
@@ -50,10 +53,16 @@ def build(cfg_overrides=None):
     cfg.SOLVER.BASE_LR = 0.01
     cfg.SOLVER.CLIP_GRAD_NORM_AT = 5.0
     cfg.TPU.COMPUTE_DTYPE = "bfloat16"
+    if mmm:
+        # the shipped mmss.yaml trains the B^2 pairwise matching loss;
+        # it is a per-chip-local-batch loss in a data-parallel run, so
+        # it belongs to the per_chip case (the reference computes B=8
+        # local pairs per GPU, never B=64 global pairs)
+        cfg.MODEL.MMSS_HEAD.TRANSFORMER.MMM_LOSS = "cross_entropy"
     return cfg
 
 
-def run_case(name, b, h, w, n_steps=10):
+def run_case(name, b, h, w, n_steps=10, mmm=False):
     import jax
     import jax.numpy as jnp
 
@@ -70,7 +79,7 @@ def run_case(name, b, h, w, n_steps=10):
         mmss_statics_from_cfg,
     )
 
-    cfg = build()
+    cfg = build(mmm=mmm)
     model = MMSSGridModel(mmss_statics_from_cfg(cfg))
     rng = np.random.RandomState(0)
     t = 20  # caption wordpieces (COCO captions ~ 12-16 + specials)
@@ -163,7 +172,8 @@ def main():
 
     which = sys.argv[1] if len(sys.argv) > 1 else "both"
     if which in ("per_chip", "both"):
-        run_case("per_chip_bs8", 8, 800, 1344)
+        run_case("per_chip_bs8", 8, 800, 1344,
+                 mmm=os.environ.get("BENCH_MMSS_NO_MMM") != "1")
     if which in ("global_b64", "both"):
         run_case("global_b64_heads", 64, 320, 320)
 
