@@ -179,6 +179,11 @@ def do_train(
                     "(set SOLVER.ABORT_ON_NON_FINITE False to continue "
                     "through divergence)", total, iteration,
                 )
+                # tag the newest completed pipelined checkpoint before
+                # dying: its last_checkpoint pointer is only written by
+                # the NEXT save/flush, and losing it costs a restart up
+                # to CHECKPOINT_PERIOD iterations of redone work
+                flush_pending_checkpoint()
                 raise FloatingPointError(
                     f"non-finite total_loss at iteration {iteration}: "
                     f"{metrics}"

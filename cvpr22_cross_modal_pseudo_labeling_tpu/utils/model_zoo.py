@@ -29,7 +29,16 @@ def default_cache_dir() -> str:
 
 def cache_url(url: str, model_dir: str = None, progress: bool = True) -> str:
     """Returns the local path of ``url``, downloading it into the cache
-    on first use (process 0 only; other processes wait)."""
+    on first use (process 0 only; other processes wait).
+
+    Every process enters the barrier unconditionally — a conditional
+    barrier deadlocks whenever processes disagree on cache state (e.g.
+    a process that arrives after process 0's download completed would
+    skip the sync the others are waiting in).  Note the cache dir is
+    host-local: on a multi-host pod either point ``CMPL_TPU_MODEL_ZOO``
+    at shared storage or pre-populate every host (the post-barrier
+    existence check gives each host a clear error rather than a hang).
+    """
     import jax
 
     model_dir = model_dir or default_cache_dir()
@@ -41,22 +50,29 @@ def cache_url(url: str, model_dir: str = None, progress: bool = True) -> str:
         # path into the name (reference model_zoo.py:46-48)
         filename = parts.path.replace("/", "_")
     cached_file = os.path.join(model_dir, filename)
-    if not os.path.exists(cached_file):
-        if jax.process_index() == 0:
-            _download(url, cached_file, progress)
-        if jax.process_count() > 1:
-            from jax.experimental import multihost_utils
+    error = None
+    if not os.path.exists(cached_file) and jax.process_index() == 0:
+        error = _download(url, cached_file, progress)
+    if jax.process_count() > 1:
+        from jax.experimental import multihost_utils
 
-            multihost_utils.sync_global_devices("cache_url")
+        multihost_utils.sync_global_devices("cache_url")
     if not os.path.exists(cached_file):
+        detail = f": {error}" if error else ""
         raise FileNotFoundError(
             f"weight URL {url} not in cache {model_dir} and download "
-            "failed — pre-populate the cache (zero-egress environment?)"
+            f"failed{detail} — pre-populate the cache on this host "
+            "(zero-egress environment, or host-local cache dir on a "
+            "multi-host pod?)"
         )
     return cached_file
 
 
-def _download(url: str, dst: str, progress: bool) -> None:
+def _download(url: str, dst: str, progress: bool):
+    """Downloads ``url`` to ``dst``.  A hash mismatch (corrupt or
+    tampered file) propagates — it must not be mistaken for a cache
+    miss; transient network errors are returned as a message so the
+    caller can raise one clear error after the barrier."""
     import shutil
     import sys
     import tempfile
@@ -66,14 +82,17 @@ def _download(url: str, dst: str, progress: bool) -> None:
     tmp_fd, tmp_path = tempfile.mkstemp(dir=os.path.dirname(dst))
     os.close(tmp_fd)
     try:
-        with urllib.request.urlopen(url, timeout=60) as r, open(
-            tmp_path, "wb"
-        ) as f:
-            shutil.copyfileobj(r, f)
+        try:
+            with urllib.request.urlopen(url, timeout=60) as r, open(
+                tmp_path, "wb"
+            ) as f:
+                shutil.copyfileobj(r, f)
+        except Exception as e:  # network-layer failure: report, don't mask
+            sys.stderr.write(f"download failed: {type(e).__name__}: {e}\n")
+            return f"{type(e).__name__}: {e}"
         _verify_hash(tmp_path, dst)
         os.replace(tmp_path, dst)
-    except Exception as e:
-        sys.stderr.write(f"download failed: {type(e).__name__}: {e}\n")
+        return None
     finally:
         if os.path.exists(tmp_path):
             os.unlink(tmp_path)
@@ -88,7 +107,11 @@ def _verify_hash(path: str, dst: str) -> None:
         return
     import hashlib
 
-    digest = hashlib.sha256(open(path, "rb").read()).hexdigest()
+    sha = hashlib.sha256()
+    with open(path, "rb") as f:
+        for chunk in iter(lambda: f.read(1 << 20), b""):
+            sha.update(chunk)
+    digest = sha.hexdigest()
     if not digest.startswith(m.group(1)):
         raise ValueError(
             f"hash mismatch for {dst}: expected prefix {m.group(1)}, "

@@ -357,8 +357,9 @@ def test_model_zoo_cache_url(tmp_path, monkeypatch):
     cache = tmp_path / "zoo"
     url = "file://" + str(src)
 
-    # hash prefix in the name mismatches the content -> rejected
-    with pytest.raises(FileNotFoundError):
+    # hash prefix in the name mismatches the content -> the mismatch
+    # itself surfaces (a corrupt file must not read as a cache miss)
+    with pytest.raises(ValueError, match="hash mismatch"):
         cache_url(url, model_dir=str(cache))
 
     import hashlib

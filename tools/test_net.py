@@ -84,8 +84,14 @@ def main():
         resolve_weight_path,
     )
 
-    weight_path = resolve_weight_path(cfg.MODEL.WEIGHT)
     ckpt = args.ckpt or latest_checkpoint(cfg.OUTPUT_DIR)
+    # resolve MODEL.WEIGHT (catalog:///URL chain) only when it will be
+    # loaded — a trained-checkpoint eval must not fetch (or fail on) an
+    # init-weight URL it never uses
+    weight_path = (
+        None if ckpt and os.path.isdir(ckpt)
+        else resolve_weight_path(cfg.MODEL.WEIGHT)
+    )
     if ckpt and os.path.isdir(ckpt):
         restored = load_checkpoint(ckpt)  # raw tree; only params needed
         params = restored["state"]["params"]

@@ -226,7 +226,17 @@ def train(cfg, logger):
         resolve_weight_path,
     )
 
-    weight_path = resolve_weight_path(cfg.MODEL.WEIGHT)
+    # On a resume the checkpoint restore below overwrites params
+    # wholesale, so skip the init-weight resolution + import (the
+    # reference checkpointer likewise ignores MODEL.WEIGHT once a
+    # checkpoint exists, utils/checkpoint.py:55-63) — except for the ST
+    # family, whose LVIS class-name embeddings are precomputed from the
+    # imported bundle's (frozen) BERT and must match the fresh-run path.
+    resuming = bool(last and cfg.MODEL.LOAD_TRAINER_STATE)
+    weight_path = (
+        None if resuming and meta_arch not in ST_FAMILY
+        else resolve_weight_path(cfg.MODEL.WEIGHT)
+    )
     if weight_path and weight_path.endswith(".pkl") and os.path.exists(
         weight_path
     ):
