@@ -30,6 +30,13 @@ _C.MODEL.CLS_AGNOSTIC_MASK = False
 _C.MODEL.GT_BOX_EVAL = False
 
 _C.MODEL.WEIGHT = ""
+# TPU-framework extension: a checkpoint (orbax dir or torch .pth) whose
+# language-backbone params fill the model's frozen BERT table after
+# MODEL.WEIGHT is applied.  Closes the all-native pipeline when
+# MODEL.WEIGHT is a stage-2 teacher orbax checkpoint (which carries no
+# BERT); the reference instead downloads pretrained bert-base-uncased at
+# construction (transformers.py:16-24).
+_C.MODEL.LANGUAGE_WEIGHT = ""
 _C.MODEL.BACKBONE_PREFIX = ""
 _C.MODEL.LOAD_TRAINER_STATE = True
 _C.MODEL.LOAD_EMB_PRED_FROM_MMSS_HEAD = False

@@ -344,6 +344,160 @@ def import_torch_state_dict(
     return _unflatten(new_flat), report
 
 
+def extract_params_tree(raw) -> Dict[str, Any]:
+    """Pulls the bare model param tree out of a raw orbax restore.
+
+    Saved training states nest as ``{"state": TrainState, "iteration"}``
+    with ``TrainState.params = {"params": <tree>}`` (plus collections);
+    eval-side dumps may already be ``{"params": <tree>}``.  Model trees
+    never contain a top-level ``params`` key themselves (their keys are
+    module names), so unwrapping is unambiguous."""
+    node = raw
+    if isinstance(node, dict) and "state" in node:
+        node = node["state"]
+    for _ in range(2):
+        if (
+            isinstance(node, dict)
+            and "params" in node
+            and isinstance(node["params"], dict)
+        ):
+            node = node["params"]
+    return node
+
+
+def import_flax_params(
+    params: Dict[str, Any],
+    source_params: Dict[str, Any],
+    load_emb_pred_from_mmss_head: bool = False,
+    default_mmss_head: str = "GroundingHead",
+    load_classifier: bool = True,
+) -> Tuple[Dict[str, Any], Dict[str, Any]]:
+    """Cross-stage import between this framework's OWN checkpoints: the
+    documented pipeline trains MMSS -> teacher -> student entirely here,
+    so stage N+1's MODEL.WEIGHT is an orbax directory, not a torch .pth.
+    Transplants the reference DetectronCheckpointer surgeries
+    (checkpoint.py:113-126) into the flax naming vocabulary:
+
+    * identical paths with identical shapes copy directly (both sides
+      share this framework's module names — no layout transposes);
+    * MMSS ``v2l_projection`` (shared or ``v2l_projection_<HEAD>``) ->
+      the box predictor's ``emb_pred`` when
+      LOAD_EMB_PRED_FROM_MMSS_HEAD (reference checkpoint.py:120-122);
+    * an MMSS C5 backbone's ``backbone/body/layer4`` -> the C4 RoI
+      extractor's ``layer4`` (the reference reaches the same routing
+      via suffix matching, model_serialization.py:10-67);
+    * a GeneralizedRCNN source routes ``roi_extractor`` /
+      ``*_predictor`` onto the ST ``teacher`` bundle (the student is
+      then populated by prepare_model, st_generalized_rcnn.py:197-199);
+    * an MMSS ``language_backbone`` fills the ST ``bert`` table;
+    * classifier leaves skipped unless ``load_classifier``
+      (checkpoint.py:125-126).
+
+    Returns (new_params, report) with the torch importer's report shape.
+    """
+    tflat = _flatten_params(params)
+    sflat = _flatten_params(source_params)
+    t_tops = {p[0] for p in tflat if len(p) > 1}
+
+    def emb_pred_base(bundle: str = "teacher") -> Optional[Tuple[str, ...]]:
+        for cand in (
+            ("box_predictor", "emb_pred"),
+            (bundle, "box_predictor", "emb_pred"),
+        ):
+            if any(p[: len(cand)] == cand for p in tflat):
+                return cand
+        return None
+
+    matched, missed = {}, []
+    for spath, sval in sflat.items():
+        # source-path surgeries, most specific first
+        candidates = []
+        if load_emb_pred_from_mmss_head and spath[0] in (
+            "v2l_projection",
+            f"v2l_projection_{default_mmss_head}",
+        ):
+            base = emb_pred_base()
+            if base is not None:
+                candidates.append(base + spath[1:])
+        if spath[:3] == ("backbone", "body", "layer4"):
+            # C5 pretraining backbone -> C4 detector's RoI extractor
+            for root in (("roi_extractor",), ("teacher", "roi_extractor")):
+                candidates.append(root + spath[2:])
+        if spath[0] == "language_backbone" and "bert" in t_tops:
+            candidates.append(("bert",) + spath[1:])
+        if spath[0] == "bert" and "language_backbone" in t_tops:
+            candidates.append(("language_backbone",) + spath[1:])
+        if spath[0] in (
+            "roi_extractor",
+            "box_predictor",
+            "mask_predictor",
+            "keypoint_predictor",
+        ) and "teacher" in t_tops and spath[0] not in t_tops:
+            candidates.append(("teacher",) + spath)
+        candidates.append(spath)  # identity last
+
+        if not load_classifier and "cls_score" in spath:
+            continue
+        placed = False
+        for tpath in candidates:
+            tgt = tflat.get(tpath)
+            if tgt is not None and tuple(np.shape(tgt)) == tuple(
+                np.shape(sval)
+            ):
+                matched[tpath] = np.asarray(
+                    sval, dtype=np.asarray(tgt).dtype
+                )
+                placed = True
+                break
+        if not placed:
+            missed.append("/".join(spath))
+
+    new_flat = dict(tflat)
+    new_flat.update(matched)
+    report = {
+        "matched": len(matched),
+        "missed_source_keys": missed,
+        "unfilled_targets": [
+            "/".join(p) for p in tflat if p not in matched
+        ],
+    }
+    return _unflatten(new_flat), report
+
+
+def import_language_table(
+    params: Dict[str, Any], weight_path: str
+) -> Tuple[Dict[str, Any], Dict[str, Any]]:
+    """Fills the (frozen) language backbone — the BERT word-embedding
+    table and, for full-encoder models, the encoder — from another
+    checkpoint (``MODEL.LANGUAGE_WEIGHT``).
+
+    Needed to close the all-native pipeline: a stage-2 teacher orbax
+    checkpoint carries no BERT (GeneralizedRCNN has none), so a stage-3
+    ST run started from it would leave the class-name embedding table
+    at random init.  The table lives in the stage-1 MMSS checkpoint
+    (``language_backbone``) or in any reference ``.pth`` that registers
+    ``bert.embeddings``.  The reference instead re-downloads pretrained
+    ``bert-base-uncased`` at construction (transformers.py:16-24) —
+    not an option for an offline training host."""
+    if os.path.isdir(weight_path):
+        ckpt_dir = latest_checkpoint(weight_path) or weight_path
+        src = extract_params_tree(load_checkpoint(ckpt_dir))
+        sflat = _flatten_params(src)
+        keep = {
+            p: v
+            for p, v in sflat.items()
+            if p and p[0] in ("bert", "language_backbone")
+        }
+        return import_flax_params(params, _unflatten(keep))
+    sd = load_torch_checkpoint(weight_path)
+    sd = {
+        k: v
+        for k, v in sd.items()
+        if "bert" in k or "language_backbone" in k
+    }
+    return import_torch_state_dict(params, sd)
+
+
 def populate_student_from_teacher(
     params: Dict[str, Any],
     teacher_key: str = "teacher",

@@ -42,6 +42,7 @@ SLOW_MODULES = {
     "test_bbox_aug_driver",
     "test_multidevice_equivalence",
     "test_cli_resume",
+    "test_cli_pipeline",
     "test_baselines",
 }
 

@@ -37,12 +37,13 @@ def _cli_env():
     return env
 
 
-def _run_train(out_dir, max_iter, env):
+def _run_train(out_dir, max_iter, env, extra_opts=()):
     cmd = [
         sys.executable,
         os.path.join(REPO, "tools", "train_net.py"),
         "--config-file", os.path.join(ASSETS, "tiny_zs.yaml"),
         "--skip-test",
+        *extra_opts,
         "SOLVER.MAX_ITER", str(max_iter),
         "SOLVER.CHECKPOINT_PERIOD", "1",
         "SOLVER.LOG_PERIOD", "1",
@@ -103,3 +104,33 @@ def test_cli_resume_trains_exact_step_budget(tmp_path):
     assert sorted(
         d for d in os.listdir(out_dir) if d.startswith("model_")
     ) == ckpts
+
+    # 4. lazy MODEL.WEIGHT resolution: a resumed run restores params
+    #    from the checkpoint wholesale, so an unreachable init-weight
+    #    URL must not be fetched (reference checkpoint.py:55-63 likewise
+    #    ignores MODEL.WEIGHT once a checkpoint exists)
+    bogus = "https://nonexistent.invalid/init_weights.pth"
+    log = _run_train(
+        out_dir, max_iter=4, env=env,
+        extra_opts=["MODEL.WEIGHT", bogus],
+    )
+    assert "training already complete" in log
+    assert _logged_steps(out_dir) == [1, 2, 3, 4]
+
+    # 5. same contract on the eval CLI: a trained-checkpoint eval never
+    #    touches the init-weight URL
+    cmd = [
+        sys.executable,
+        os.path.join(REPO, "tools", "test_net.py"),
+        "--config-file", os.path.join(ASSETS, "tiny_zs.yaml"),
+        "OUTPUT_DIR", out_dir,
+        "MODEL.WEIGHT", bogus,
+    ]
+    proc = subprocess.run(
+        cmd, cwd=REPO, env=env, capture_output=True, text=True,
+        timeout=1200,
+    )
+    out = proc.stdout + proc.stderr
+    assert proc.returncode == 0, out
+    assert "loaded orbax checkpoint" in out
+    assert "eval[" in out

@@ -52,6 +52,12 @@ def main():
     cfg.freeze()
     logger = setup_logger("cmpl_tpu", cfg.OUTPUT_DIR, jax.process_index())
 
+    if not cfg.DATASETS.TEST:
+        # same behavior as the reference's zero-iteration loop over
+        # cfg.DATASETS.TEST (test_net.py:95-113): nothing to evaluate
+        logger.info("DATASETS.TEST is empty; nothing to evaluate")
+        return
+
     model = build_detection_model(cfg)
     loaders, datasets = make_data_loader(
         cfg,
@@ -96,6 +102,33 @@ def main():
         restored = load_checkpoint(ckpt)  # raw tree; only params needed
         params = restored["state"]["params"]
         logger.info("loaded orbax checkpoint %s", ckpt)
+    elif weight_path and os.path.isdir(weight_path):
+        # MODEL.WEIGHT names another run's orbax checkpoint (or its
+        # OUTPUT_DIR) — cross-stage import in this framework's own
+        # vocabulary (engine/checkpoint.py::import_flax_params)
+        from cvpr22_cross_modal_pseudo_labeling_tpu.engine.checkpoint import (
+            extract_params_tree,
+            import_flax_params,
+        )
+
+        ckpt_dir = latest_checkpoint(weight_path) or weight_path
+        src = extract_params_tree(load_checkpoint(ckpt_dir))
+        new_params, report = import_flax_params(
+            params["params"],
+            src,
+            load_emb_pred_from_mmss_head=(
+                cfg.MODEL.LOAD_EMB_PRED_FROM_MMSS_HEAD
+            ),
+            default_mmss_head=cfg.MODEL.MMSS_HEAD.DEFAULT_HEAD,
+            load_classifier=cfg.MODEL.LOAD_CLASSIFIER,
+        )
+        params = {
+            "params": jax.tree_util.tree_map(jnp.asarray, new_params)
+        }
+        logger.info(
+            "imported %d leaves from orbax checkpoint %s",
+            report["matched"], ckpt_dir,
+        )
     elif weight_path and os.path.exists(weight_path):
         sd = load_torch_checkpoint(weight_path)
         sd = apply_reference_key_surgery(

@@ -237,7 +237,35 @@ def train(cfg, logger):
         None if resuming and meta_arch not in ST_FAMILY
         else resolve_weight_path(cfg.MODEL.WEIGHT)
     )
-    if weight_path and weight_path.endswith(".pkl") and os.path.exists(
+    if weight_path and os.path.isdir(weight_path):
+        # an orbax checkpoint from an earlier stage of THIS framework
+        # (the documented MMSS -> teacher -> student pipeline): either a
+        # model_XXXXXXX dir or an OUTPUT_DIR whose last_checkpoint tag
+        # names one
+        from cvpr22_cross_modal_pseudo_labeling_tpu.engine.checkpoint import (
+            extract_params_tree,
+            import_flax_params,
+        )
+
+        ckpt_dir = latest_checkpoint(weight_path) or weight_path
+        src = extract_params_tree(load_checkpoint(ckpt_dir))
+        new_params, report = import_flax_params(
+            params["params"],
+            src,
+            load_emb_pred_from_mmss_head=(
+                cfg.MODEL.LOAD_EMB_PRED_FROM_MMSS_HEAD
+            ),
+            default_mmss_head=cfg.MODEL.MMSS_HEAD.DEFAULT_HEAD,
+            load_classifier=cfg.MODEL.LOAD_CLASSIFIER,
+        )
+        params = dict(params)
+        params["params"] = jax.tree_util.tree_map(jnp.asarray, new_params)
+        logger.info(
+            "imported %d leaves from orbax checkpoint %s "
+            "(%d source leaves unmatched)",
+            report["matched"], ckpt_dir, len(report["missed_source_keys"]),
+        )
+    elif weight_path and weight_path.endswith(".pkl") and os.path.exists(
         weight_path
     ):
         from cvpr22_cross_modal_pseudo_labeling_tpu.engine.c2_loading import (
@@ -265,6 +293,22 @@ def train(cfg, logger):
         logger.info(
             "imported %d torch tensors (%d source keys unmatched)",
             report["matched"], len(report["missed_source_keys"]),
+        )
+
+    # applied on resume as well: the ST class-name embeddings are
+    # computed from this table BEFORE the checkpoint restore below
+    if cfg.MODEL.LANGUAGE_WEIGHT:
+        from cvpr22_cross_modal_pseudo_labeling_tpu.engine.checkpoint import (
+            import_language_table,
+        )
+
+        lw = resolve_weight_path(cfg.MODEL.LANGUAGE_WEIGHT)
+        new_params, report = import_language_table(params["params"], lw)
+        params = dict(params)
+        params["params"] = jax.tree_util.tree_map(jnp.asarray, new_params)
+        logger.info(
+            "language table: imported %d leaves from %s",
+            report["matched"], lw,
         )
 
     if meta_arch in ST_FAMILY and not cfg.MODEL.RESUME:
