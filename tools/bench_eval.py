@@ -58,16 +58,36 @@ def main():
         out = fwd(params, images, sizes, emb)
     float(jnp.sum(out.detections.scores))
     dt = (time.perf_counter() - t0) / n
-    print(
-        json.dumps(
-            {
-                "metric": "maskrcnn_r50c4_eval_imgs_per_sec_per_chip",
-                "value": round(b / dt, 3),
-                "unit": "imgs/sec/chip",
-                "batch": b,
-            }
-        )
-    )
+    result = {
+        "metric": "maskrcnn_r50c4_eval_imgs_per_sec_per_chip",
+        "value": round(b / dt, 3),
+        "unit": "imgs/sec/chip",
+        "batch": b,
+    }
+    try:
+        cost = fwd.lower(params, images, sizes, emb).compile().cost_analysis()
+        if isinstance(cost, (list, tuple)):
+            cost = cost[0]
+        flops = float(cost.get("flops", 0.0))
+        if flops > 0:
+            result["tflops_per_sec"] = round(flops / dt / 1e12, 2)
+            result["mfu_pct"] = round(100.0 * flops / dt / 197e12, 2)
+    except Exception as e:
+        result["mfu_note"] = f"cost_analysis unavailable: {type(e).__name__}"
+
+    # serving latency: batch-1 single-image forward, the number an online
+    # deployment cares about (p50 of a steady-state loop)
+    im1, sz1 = images[:1], sizes[:1]
+    out = fwd(params, im1, sz1, emb)
+    float(jnp.sum(out.detections.scores))
+    lats = []
+    for _ in range(20):
+        t0 = time.perf_counter()
+        out = fwd(params, im1, sz1, emb)
+        jax.block_until_ready(out.detections.boxes)
+        lats.append(time.perf_counter() - t0)
+    result["bs1_latency_ms_p50"] = round(1e3 * sorted(lats)[len(lats) // 2], 2)
+    print(json.dumps(result))
 
 
 if __name__ == "__main__":
