@@ -139,19 +139,18 @@ def main():
 
     # FLOPs accounting -> MFU (VERDICT r1: give the number roofline
     # context).  XLA's cost analysis counts HLO flops of the compiled
-    # step program; v5e peak is 197 TFLOP/s bf16.
+    # step program; the bf16 peak comes from the running device's
+    # generation (utils/profiler.py::tpu_peak_flops).
+    from cvpr22_cross_modal_pseudo_labeling_tpu.utils.profiler import (
+        compiled_step_flops,
+        mfu_metrics,
+    )
+
     try:
-        cost = step.lower(state, batch).compile().cost_analysis()
-        if isinstance(cost, (list, tuple)):
-            cost = cost[0]
-        flops_per_step = float(cost.get("flops", 0.0))
+        flops_per_step = compiled_step_flops(step, state, batch)
         if flops_per_step > 0:
-            sec_per_step = dt / n_steps
-            achieved = flops_per_step / sec_per_step
-            peak = 197e12  # v5e bf16
             out["flops_per_step"] = flops_per_step
-            out["tflops_per_sec"] = round(achieved / 1e12, 2)
-            out["mfu_pct"] = round(100.0 * achieved / peak, 2)
+            out.update(mfu_metrics(flops_per_step, dt / n_steps))
             # context: the 4 img/s A100 anchor implies this model FLOPs
             # rate on a 312-TFLOP/s-peak chip
             implied = (

@@ -65,6 +65,31 @@ def flush_pending_checkpoint():
     _pending = None
 
 
+def pending_checkpoint_step():
+    """Step of the in-flight async save, or None."""
+    if _pending is None:
+        return None
+    return int(os.path.basename(_pending[1]).rsplit("_", 1)[-1])
+
+
+def discard_pending_checkpoint():
+    """Waits for an in-flight async save and drops it WITHOUT
+    publishing: last_checkpoint keeps pointing at the previous published
+    save.  Used on divergence abort — a checkpoint written after the
+    last finite loss observation may hold NaN params, and publishing it
+    would make the implicit resume restore the blow-up."""
+    global _pending
+    if _pending is None:
+        return
+    _async_ckptr.wait_until_finished()
+    directory, path, _ = _pending
+    _pending = None
+    if jax.process_index() == 0 and os.path.isdir(path):
+        import shutil
+
+        shutil.rmtree(path, ignore_errors=True)
+
+
 def save_checkpoint(
     directory: str, state, step: int, keep: int = 5, block: bool = True
 ):
@@ -542,3 +567,59 @@ def load_torch_checkpoint(path: str) -> Dict[str, np.ndarray]:
         k: v.numpy() if hasattr(v, "numpy") else np.asarray(v)
         for k, v in blob.items()
     }
+
+
+def import_external_weights(params_tree, weight_path: str, cfg):
+    """The MODEL.WEIGHT import chain, shared by both CLIs
+    (tools/train_net.py, tools/test_net.py — reference
+    utils/checkpoint.py:51-75 _load_file dispatch):
+
+    * an orbax checkpoint dir (or an OUTPUT_DIR whose last_checkpoint
+      tag names one) — cross-stage import in this framework's own
+      vocabulary via :func:`import_flax_params`;
+    * a Caffe2 ``.pkl`` — ImageNet init blobs;
+    * a torch ``.pth``/state-dict file — reference weights through
+      :func:`apply_reference_key_surgery` + :func:`import_torch_state_dict`.
+
+    Returns ``(new_params_tree, message)``; ``message`` is None when
+    ``weight_path`` names no importable source (params unchanged).
+    """
+    import jax
+    import jax.numpy as jnp
+
+    surgery = dict(
+        load_emb_pred_from_mmss_head=cfg.MODEL.LOAD_EMB_PRED_FROM_MMSS_HEAD,
+        default_mmss_head=cfg.MODEL.MMSS_HEAD.DEFAULT_HEAD,
+        load_classifier=cfg.MODEL.LOAD_CLASSIFIER,
+    )
+    if weight_path and os.path.isdir(weight_path):
+        ckpt_dir = latest_checkpoint(weight_path) or weight_path
+        src = extract_params_tree(load_checkpoint(ckpt_dir))
+        new_params, report = import_flax_params(params_tree, src, **surgery)
+        msg = (
+            f"imported {report['matched']} leaves from orbax checkpoint "
+            f"{ckpt_dir} ({len(report['missed_source_keys'])} source "
+            "leaves unmatched)"
+        )
+    elif weight_path and weight_path.endswith(".pkl") and os.path.exists(
+        weight_path
+    ):
+        from .c2_loading import import_c2_imagenet_weights
+
+        new_params, report = import_c2_imagenet_weights(
+            params_tree, weight_path
+        )
+        msg = f"imported {report['matched']} caffe2 blobs"
+    elif weight_path and os.path.exists(weight_path):
+        sd = load_torch_checkpoint(weight_path)
+        sd = apply_reference_key_surgery(
+            sd, backbone_prefix=cfg.MODEL.BACKBONE_PREFIX, **surgery
+        )
+        new_params, report = import_torch_state_dict(params_tree, sd)
+        msg = (
+            f"imported {report['matched']} torch tensors "
+            f"({len(report['missed_source_keys'])} source keys unmatched)"
+        )
+    else:
+        return params_tree, None
+    return jax.tree_util.tree_map(jnp.asarray, new_params), msg

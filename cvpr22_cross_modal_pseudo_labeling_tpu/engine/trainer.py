@@ -20,7 +20,12 @@ import numpy as np
 
 from ..utils.logger import get_logger
 from ..utils.metric_logger import MetricLogger
-from .checkpoint import flush_pending_checkpoint, save_checkpoint
+from .checkpoint import (
+    discard_pending_checkpoint,
+    flush_pending_checkpoint,
+    pending_checkpoint_step,
+    save_checkpoint,
+)
 from .train_step import (
     _ALWAYS_REPLICATED_KEYS,
     _REPLICATED_BATCH_KEYS,
@@ -133,6 +138,7 @@ def do_train(
 
     shardings = None
     iteration = start_iter
+    last_finite_iter = start_iter
     end = time.perf_counter()
     for batch, _ in loader:
         if iteration >= max_iter:
@@ -179,15 +185,29 @@ def do_train(
                     "(set SOLVER.ABORT_ON_NON_FINITE False to continue "
                     "through divergence)", total, iteration,
                 )
-                # tag the newest completed pipelined checkpoint before
-                # dying: its last_checkpoint pointer is only written by
-                # the NEXT save/flush, and losing it costs a restart up
-                # to CHECKPOINT_PERIOD iterations of redone work
-                flush_pending_checkpoint()
+                # publish the pending pipelined checkpoint ONLY if it
+                # predates the last finite loss observation — a save
+                # taken after it may hold post-divergence (NaN) params,
+                # and publishing it would make the implicit resume
+                # restore the blow-up; otherwise drop it so
+                # last_checkpoint keeps pointing at the previous
+                # published (confirmed-era) save
+                pending = pending_checkpoint_step()
+                if pending is not None and pending > last_finite_iter:
+                    logger.warning(
+                        "dropping pending checkpoint at iteration %d "
+                        "(after last finite loss at %d — may hold "
+                        "diverged params)", pending, last_finite_iter,
+                    )
+                    discard_pending_checkpoint()
+                else:
+                    flush_pending_checkpoint()
                 raise FloatingPointError(
                     f"non-finite total_loss at iteration {iteration}: "
                     f"{metrics}"
                 )
+            if total is not None:
+                last_finite_iter = iteration
             batch_time = time.perf_counter() - end
             meters.update(
                 time=batch_time, data=data_time, **metrics

@@ -12,8 +12,13 @@ RCNN_FAMILY = ("GeneralizedRCNN", "SBBaseline", "OMP", "BA_RPN")
 ST_FAMILY = ("STGeneralizedRCNN", "SoftTeacher", "UnbiasedTeacher")
 
 
-def build_detection_model(cfg):
-    """Registry dispatch mirroring reference detector/detectors.py:7-16."""
+def build_detection_model(cfg, data_shards: int = 1):
+    """Registry dispatch mirroring reference detector/detectors.py:7-16.
+
+    ``data_shards`` is the mesh's data-axis size: it sets the
+    FPN_POST_NMS_PER_BATCH group granularity so the cross-level top-N
+    matches the reference's per-GPU selection (rpn/inference.py:154-171).
+    """
     arch = cfg.MODEL.META_ARCHITECTURE
     if arch == "GeneralizedRCNN" and cfg.MODEL.RETINANET_ON:
         # reference: RETINANET_ON swaps the rpn inside GeneralizedRCNN
@@ -39,11 +44,11 @@ def build_detection_model(cfg):
             dtype=dtype,
         )
     if arch == "GeneralizedRCNN":
-        return GeneralizedRCNN(statics_from_cfg(cfg))
+        return GeneralizedRCNN(statics_from_cfg(cfg, data_shards=data_shards))
     if arch == "STGeneralizedRCNN":
         from .st_generalized_rcnn import STGeneralizedRCNN, st_statics_from_cfg
 
-        return STGeneralizedRCNN(st_statics_from_cfg(cfg))
+        return STGeneralizedRCNN(st_statics_from_cfg(cfg, data_shards=data_shards))
     if arch == "MMSS-GCNN":
         from .mmss_gcnn import MMSSGridModel, mmss_statics_from_cfg
 
@@ -57,7 +62,7 @@ def build_detection_model(cfg):
             if arch == "SoftTeacher"
             else baselines.UnbiasedTeacherRCNN
         )
-        return cls(st_statics_from_cfg(cfg))
+        return cls(st_statics_from_cfg(cfg, data_shards=data_shards))
     if arch in ("SBBaseline", "OMP", "BA_RPN"):
         # GeneralizedRCNN skeletons (reference baselines/{SB,OMP,BA_RPN},
         # unregistered upstream); registered here for completeness
@@ -68,5 +73,5 @@ def build_detection_model(cfg):
             "OMP": baselines.OMPBaseline,
             "BA_RPN": baselines.BARPNBaseline,
         }[arch]
-        return cls(statics_from_cfg(cfg))
+        return cls(statics_from_cfg(cfg, data_shards=data_shards))
     raise ValueError(f"Unknown META_ARCHITECTURE {arch}")

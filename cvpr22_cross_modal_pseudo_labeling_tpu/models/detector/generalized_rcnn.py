@@ -186,6 +186,7 @@ class GeneralizedRCNN(nn.Module):
                 s.fpn_post_nms_train if train else s.fpn_post_nms_test
             ),
             fpn_post_nms_per_batch=train and s.fpn_post_nms_per_batch,
+            per_batch_groups=s.fpn_per_batch_groups,
         )
         return feats, objectness, box_reg, anchors, proposals
 

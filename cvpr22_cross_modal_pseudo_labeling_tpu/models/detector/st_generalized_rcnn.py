@@ -71,9 +71,9 @@ class STStatics(NamedTuple):
     exemplars_enabled: bool = False
 
 
-def st_statics_from_cfg(cfg) -> STStatics:
+def st_statics_from_cfg(cfg, data_shards: int = 1) -> STStatics:
     return STStatics(
-        base=statics_from_cfg(cfg),
+        base=statics_from_cfg(cfg, data_shards=data_shards),
         lambda_pseudo_label=cfg.MODEL.LAMBDA_PSEUDO_LABEL,
         uncertainty=cfg.MODEL.UNCERTAINTY,
         reweight=cfg.MODEL.REWEIGHT,
@@ -257,6 +257,7 @@ class STGeneralizedRCNN(nn.Module):
                 s.fpn_post_nms_train if train_selector else s.fpn_post_nms_test
             ),
             fpn_post_nms_per_batch=train_selector and s.fpn_post_nms_per_batch,
+            per_batch_groups=s.fpn_per_batch_groups,
         )
         return anchors, objectness, box_reg, proposals
 

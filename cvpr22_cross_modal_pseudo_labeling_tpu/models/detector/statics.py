@@ -36,6 +36,11 @@ class RCNNStatics(NamedTuple):
     fpn_post_nms_train: int = 2000
     fpn_post_nms_test: int = 2000
     fpn_post_nms_per_batch: bool = True
+    # FPN_POST_NMS_PER_BATCH granularity: the reference applies the
+    # cross-level top-N per GPU minibatch; under SPMD the in-step batch
+    # is global, so it is split into this many contiguous groups (the
+    # data-shard count).  1 = single-process reference semantics.
+    fpn_per_batch_groups: int = 1
     rpn_dont_train: bool = False
     rpn_only: bool = False
     # roi heads
@@ -86,7 +91,7 @@ class RCNNStatics(NamedTuple):
     compute_dtype: str = "float32"
 
 
-def statics_from_cfg(cfg) -> RCNNStatics:
+def statics_from_cfg(cfg, data_shards: int = 1) -> RCNNStatics:
     m = cfg.MODEL
     return RCNNStatics(
         conv_body=m.BACKBONE.CONV_BODY,
@@ -118,6 +123,7 @@ def statics_from_cfg(cfg) -> RCNNStatics:
         fpn_post_nms_train=m.RPN.FPN_POST_NMS_TOP_N_TRAIN,
         fpn_post_nms_test=m.RPN.FPN_POST_NMS_TOP_N_TEST,
         fpn_post_nms_per_batch=m.RPN.FPN_POST_NMS_PER_BATCH,
+        fpn_per_batch_groups=max(int(data_shards), 1),
         rpn_dont_train=m.RPN.DONT_TRAIN,
         rpn_only=m.RPN_ONLY,
         roi_fg_iou=m.ROI_HEADS.FG_IOU_THRESHOLD,

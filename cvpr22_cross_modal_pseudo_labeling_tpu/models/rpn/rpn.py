@@ -125,6 +125,7 @@ def select_proposals_multi_level(
     nms_tile: int = 256,
     fpn_post_nms_top_n: int = 0,
     fpn_post_nms_per_batch: bool = False,
+    per_batch_groups: int = 1,
 ) -> RPNProposals:
     """Reference rpn/inference.py:76-181 semantics for any number of
     feature levels: per-level top-k -> decode -> NMS -> per-level
@@ -140,6 +141,14 @@ def select_proposals_multi_level(
     batch-global top-N scatter mask over the flattened scores (same
     lowest-index tie-breaking as ``torch.topk``), with the padded
     per-image layout kept and validity masking the cut.
+
+    ``per_batch_groups`` reproduces the reference's *granularity*: the
+    reference runs per GPU, so its "whole batch" is the local
+    IMS_PER_BATCH/num_gpus minibatch.  Under SPMD the in-step batch is
+    global; splitting it into ``per_batch_groups`` contiguous groups
+    (one per data shard) and taking top-N per group matches the
+    reference's per-GPU selection, and keeps the top_k local to each
+    data shard (no cross-device gather).  1 = single-process semantics.
 
     ``anchor_list`` is the per-level [N_l, 4] anchors whose
     concatenation ordering matches ``objectness`` [B, sum(N_l)] /
@@ -172,14 +181,20 @@ def select_proposals_multi_level(
     keyed = jnp.where(valid, scores, -jnp.inf)
     k = min(fpn_top_n, boxes.shape[1])
     if fpn_post_nms_per_batch:
-        # batch-global top-N scatter mask (inference.py:162-171)
-        flat = keyed.reshape(-1)
-        n_keep = min(fpn_top_n, flat.shape[0])
+        # per-group top-N scatter mask (inference.py:162-171; group =
+        # the reference's per-GPU minibatch)
+        b, p = keyed.shape
+        g = max(per_batch_groups, 1)
+        if b % g:
+            raise ValueError(
+                f"batch {b} not divisible by per_batch_groups {g}"
+            )
+        flat = keyed.reshape(g, (b // g) * p)
+        n_keep = min(fpn_top_n, flat.shape[1])
         _, flat_idx = jax.lax.top_k(flat, n_keep)
-        keep = (
-            jnp.zeros(flat.shape[0], bool).at[flat_idx].set(True)
-        ).reshape(keyed.shape)
-        keyed = jnp.where(keep, keyed, -jnp.inf)
+        keep = jnp.zeros(flat.shape, bool)
+        keep = keep.at[jnp.arange(g)[:, None], flat_idx].set(True)
+        keyed = jnp.where(keep.reshape(b, p), keyed, -jnp.inf)
     _, idx = jax.lax.top_k(keyed, k)
 
     def take(a):

@@ -31,6 +31,25 @@ def make_mesh(
     return Mesh(dev_array, tuple(axes))
 
 
+def data_axis_size(
+    axes: Sequence[str] = ("data",),
+    shape: Sequence[int] = (-1,),
+    axis: str = "data",
+    n_devices: Optional[int] = None,
+) -> int:
+    """Size the ``axis`` dimension of ``make_mesh(axes, shape)`` would
+    have, without building the mesh (usable before device init).  1 if
+    the axis is absent."""
+    if axis not in axes:
+        return 1
+    n = n_devices if n_devices is not None else jax.device_count()
+    shape = list(shape)
+    if -1 in shape:
+        known = int(np.prod([s for s in shape if s != -1]))
+        shape[shape.index(-1)] = n // max(known, 1)
+    return int(shape[list(axes).index(axis)])
+
+
 def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 

@@ -58,6 +58,9 @@ def cache_url(url: str, model_dir: str = None, progress: bool = True) -> str:
 
         multihost_utils.sync_global_devices("cache_url")
     if not os.path.exists(cached_file):
+        if error and error.startswith("hash mismatch"):
+            # corrupt/tampered download — distinct from a cache miss
+            raise ValueError(f"weight URL {url}: {error}")
         detail = f": {error}" if error else ""
         raise FileNotFoundError(
             f"weight URL {url} not in cache {model_dir} and download "
@@ -69,10 +72,12 @@ def cache_url(url: str, model_dir: str = None, progress: bool = True) -> str:
 
 
 def _download(url: str, dst: str, progress: bool):
-    """Downloads ``url`` to ``dst``.  A hash mismatch (corrupt or
-    tampered file) propagates — it must not be mistaken for a cache
-    miss; transient network errors are returned as a message so the
-    caller can raise one clear error after the barrier."""
+    """Downloads ``url`` to ``dst``.  ALL failures — network-layer and
+    hash mismatch alike — are returned as a message rather than raised:
+    in a multi-process run every process must reach the cache_url
+    barrier, so nothing may raise before it.  The caller raises one
+    clear post-barrier error (ValueError for a hash mismatch so it is
+    not mistaken for a cache miss)."""
     import shutil
     import sys
     import tempfile
@@ -90,7 +95,11 @@ def _download(url: str, dst: str, progress: bool):
         except Exception as e:  # network-layer failure: report, don't mask
             sys.stderr.write(f"download failed: {type(e).__name__}: {e}\n")
             return f"{type(e).__name__}: {e}"
-        _verify_hash(tmp_path, dst)
+        try:
+            _verify_hash(tmp_path, dst)
+        except ValueError as e:
+            sys.stderr.write(f"{e}\n")
+            return str(e)
         os.replace(tmp_path, dst)
         return None
     finally:

@@ -218,3 +218,62 @@ def test_fpn_post_nms_top_n_per_image_and_per_batch():
         np.round(np.asarray(out_b.scores)[valid], 6).tolist()
     )
     assert got == expect
+
+
+def test_fpn_post_nms_per_batch_group_granularity():
+    """per_batch_groups=G splits the global batch into G contiguous
+    groups and applies the train-time top-N per group — the reference's
+    per-GPU minibatch granularity (rpn/inference.py:154-171 runs per
+    process).  G groups must equal G independent per-group selections."""
+    from cvpr22_cross_modal_pseudo_labeling_tpu.models.rpn.rpn import (
+        select_proposals_multi_level,
+    )
+
+    rng = np.random.RandomState(7)
+
+    def grid(n, step, size):
+        xs = (np.arange(n) * step).astype(np.float32)
+        return np.stack(
+            [xs, np.zeros(n, np.float32), xs + size, np.full(n, size, np.float32)],
+            axis=1,
+        )
+
+    anchor_list = [jnp.asarray(grid(8, 40.0, 16.0)), jnp.asarray(grid(6, 50.0, 20.0))]
+    n_tot, b = 14, 4
+    obj = jnp.asarray(rng.randn(b, n_tot).astype(np.float32)) * 4.0
+    reg = jnp.zeros((b, n_tot, 4), jnp.float32)
+    sizes = jnp.full((b, 2), 512.0, jnp.float32)
+    common = dict(
+        pre_nms_top_n=16, post_nms_top_n=16,
+        nms_thresh=0.7, min_size=0.0, nms_tile=32,
+        fpn_post_nms_top_n=5, fpn_post_nms_per_batch=True,
+    )
+
+    grouped = select_proposals_multi_level(
+        anchor_list, obj, reg, image_sizes=sizes,
+        per_batch_groups=2, **common,
+    )
+    # each 2-image group independently keeps 5
+    valid = np.asarray(grouped.valid)
+    assert valid[:2].sum() == 5 and valid[2:].sum() == 5
+
+    for lo, hi in ((0, 2), (2, 4)):
+        solo = select_proposals_multi_level(
+            anchor_list, obj[lo:hi], reg[lo:hi],
+            image_sizes=sizes[lo:hi], per_batch_groups=1, **common,
+        )
+        sv = np.asarray(solo.valid)
+        np.testing.assert_allclose(
+            np.sort(np.asarray(grouped.scores)[lo:hi][valid[lo:hi]]),
+            np.sort(np.asarray(solo.scores)[sv]),
+            rtol=1e-6,
+        )
+
+    # indivisible batch is an explicit error, not silent truncation
+    import pytest
+
+    with pytest.raises(ValueError, match="divisible"):
+        select_proposals_multi_level(
+            anchor_list, obj[:3], reg[:3], image_sizes=sizes[:3],
+            per_batch_groups=2, **common,
+        )

@@ -152,6 +152,57 @@ def test_do_train_aborts_on_non_finite_loss(tmp_path):
     assert int(final.step) == 10
 
 
+def test_non_finite_abort_does_not_publish_diverged_checkpoint(tmp_path):
+    """The abort must not tag a checkpoint written AFTER the last finite
+    loss observation: with CHECKPOINT_PERIOD not a multiple of
+    LOG_PERIOD the pending save can hold post-divergence params, and
+    publishing it would make the implicit resume restore the blow-up."""
+    import pytest
+
+    def make_nan_step(nan_from):
+        def nan_step(state, batch):
+            from cvpr22_cross_modal_pseudo_labeling_tpu.engine.train_step import (
+                _apply_update,
+            )
+
+            new_state = _apply_update(
+                state, {"params": {"w": jnp.ones((3,))}}, optax.sgd(0.1)
+            )
+            loss = jnp.where(new_state.step >= nan_from, jnp.nan, 1.0)
+            return new_state, {"total_loss": loss}
+
+        return nan_step
+
+    # NaN at step 3 -> detected at iter 4; pending ckpt from iter 3 is
+    # AFTER the last finite check (iter 2) -> dropped, nothing published
+    cfg, state, mesh, _, _ = _counting_setup(tmp_path, max_iter=10)
+    cfg.SOLVER.LOG_PERIOD = 2
+    cfg.SOLVER.CHECKPOINT_PERIOD = 3
+    out_a = str(tmp_path / "a")
+    with pytest.raises(FloatingPointError):
+        do_train(
+            make_nan_step(3), state, FakeLoader(10), mesh, cfg,
+            output_dir=out_a,
+        )
+    assert latest_checkpoint(out_a) is None
+    assert not os.path.isdir(os.path.join(out_a, "model_0000003"))
+
+    # NaN at step 5 -> detected at iter 6; pending ckpt from iter 3
+    # predates the finite check at iter 4 -> published as usual
+    state2 = create_train_state(
+        {"params": {"w": jnp.ones((3,))}}, optax.sgd(0.1),
+        jax.random.PRNGKey(0),
+    )
+    out_b = str(tmp_path / "b")
+    with pytest.raises(FloatingPointError):
+        do_train(
+            make_nan_step(5), state2, FakeLoader(10), mesh, cfg,
+            output_dir=out_b,
+        )
+    assert latest_checkpoint(out_b) is not None
+    assert latest_checkpoint(out_b).endswith("model_0000003")
+
+
 def test_do_train_surplus_loader_batches_respect_max_iter(tmp_path):
     """A loader yielding more batches than MAX_ITER - start_iter (e.g. a
     stream restored behind the optimizer state) must not overrun the

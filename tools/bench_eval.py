@@ -64,14 +64,15 @@ def main():
         "unit": "imgs/sec/chip",
         "batch": b,
     }
+    from cvpr22_cross_modal_pseudo_labeling_tpu.utils.profiler import (
+        compiled_step_flops,
+        mfu_metrics,
+    )
+
     try:
-        cost = fwd.lower(params, images, sizes, emb).compile().cost_analysis()
-        if isinstance(cost, (list, tuple)):
-            cost = cost[0]
-        flops = float(cost.get("flops", 0.0))
+        flops = compiled_step_flops(fwd, params, images, sizes, emb)
         if flops > 0:
-            result["tflops_per_sec"] = round(flops / dt / 1e12, 2)
-            result["mfu_pct"] = round(100.0 * flops / dt / 197e12, 2)
+            result.update(mfu_metrics(flops, dt))
     except Exception as e:
         result["mfu_note"] = f"cost_analysis unavailable: {type(e).__name__}"
 

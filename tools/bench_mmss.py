@@ -148,15 +148,15 @@ def run_case(name, b, h, w, n_steps=10, mmm=False):
         "image_hw": [h, w],
         "total_loss": round(float(metrics["total_loss"]), 4),
     }
+    from cvpr22_cross_modal_pseudo_labeling_tpu.utils.profiler import (
+        compiled_step_flops,
+        mfu_metrics,
+    )
+
     try:
-        cost = step.lower(state, batch).compile().cost_analysis()
-        if isinstance(cost, (list, tuple)):
-            cost = cost[0]
-        flops = float(cost.get("flops", 0.0))
+        flops = compiled_step_flops(step, state, batch)
         if flops > 0:
-            achieved = flops / (dt / n_steps)
-            out["tflops_per_sec"] = round(achieved / 1e12, 2)
-            out["mfu_pct"] = round(100.0 * achieved / 197e12, 2)
+            out.update(mfu_metrics(flops, dt / n_steps))
     except Exception:
         pass
     print(json.dumps(out), flush=True)

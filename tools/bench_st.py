@@ -153,16 +153,16 @@ def main():
     }
     # FLOPs -> MFU (VERDICT r2 item 4: the paper's workload needs a
     # roofline number too); XLA cost analysis of the compiled step
+    from cvpr22_cross_modal_pseudo_labeling_tpu.utils.profiler import (
+        compiled_step_flops,
+        mfu_metrics,
+    )
+
     try:
-        cost = step.lower(state, batch).compile().cost_analysis()
-        if isinstance(cost, (list, tuple)):
-            cost = cost[0]
-        flops = float(cost.get("flops", 0.0))
+        flops = compiled_step_flops(step, state, batch)
         if flops > 0:
-            achieved = flops / dt
             out["flops_per_step"] = flops
-            out["tflops_per_sec"] = round(achieved / 1e12, 2)
-            out["mfu_pct"] = round(100.0 * achieved / 197e12, 2)
+            out.update(mfu_metrics(flops, dt))
     except Exception as e:
         out["mfu_note"] = f"cost_analysis unavailable: {type(e).__name__}"
     print(json.dumps(out))

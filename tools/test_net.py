@@ -28,11 +28,8 @@ def main():
     from cvpr22_cross_modal_pseudo_labeling_tpu.config import get_default_cfg
     from cvpr22_cross_modal_pseudo_labeling_tpu.data import make_data_loader
     from cvpr22_cross_modal_pseudo_labeling_tpu.engine.checkpoint import (
-        apply_reference_key_surgery,
-        import_torch_state_dict,
         latest_checkpoint,
         load_checkpoint,
-        load_torch_checkpoint,
     )
     from cvpr22_cross_modal_pseudo_labeling_tpu.engine.inference import (
         inference,
@@ -102,45 +99,20 @@ def main():
         restored = load_checkpoint(ckpt)  # raw tree; only params needed
         params = restored["state"]["params"]
         logger.info("loaded orbax checkpoint %s", ckpt)
-    elif weight_path and os.path.isdir(weight_path):
-        # MODEL.WEIGHT names another run's orbax checkpoint (or its
-        # OUTPUT_DIR) — cross-stage import in this framework's own
-        # vocabulary (engine/checkpoint.py::import_flax_params)
+    elif weight_path:
+        # MODEL.WEIGHT: orbax cross-stage / caffe2 .pkl / torch .pth —
+        # one shared chain with train_net (engine/checkpoint.py::
+        # import_external_weights)
         from cvpr22_cross_modal_pseudo_labeling_tpu.engine.checkpoint import (
-            extract_params_tree,
-            import_flax_params,
+            import_external_weights,
         )
 
-        ckpt_dir = latest_checkpoint(weight_path) or weight_path
-        src = extract_params_tree(load_checkpoint(ckpt_dir))
-        new_params, report = import_flax_params(
-            params["params"],
-            src,
-            load_emb_pred_from_mmss_head=(
-                cfg.MODEL.LOAD_EMB_PRED_FROM_MMSS_HEAD
-            ),
-            default_mmss_head=cfg.MODEL.MMSS_HEAD.DEFAULT_HEAD,
-            load_classifier=cfg.MODEL.LOAD_CLASSIFIER,
+        new_params, msg = import_external_weights(
+            params["params"], weight_path, cfg
         )
-        params = {
-            "params": jax.tree_util.tree_map(jnp.asarray, new_params)
-        }
-        logger.info(
-            "imported %d leaves from orbax checkpoint %s",
-            report["matched"], ckpt_dir,
-        )
-    elif weight_path and os.path.exists(weight_path):
-        sd = load_torch_checkpoint(weight_path)
-        sd = apply_reference_key_surgery(
-            sd,
-            backbone_prefix=cfg.MODEL.BACKBONE_PREFIX,
-            load_emb_pred_from_mmss_head=cfg.MODEL.LOAD_EMB_PRED_FROM_MMSS_HEAD,
-            default_mmss_head=cfg.MODEL.MMSS_HEAD.DEFAULT_HEAD,
-            load_classifier=cfg.MODEL.LOAD_CLASSIFIER,
-        )
-        new_params, report = import_torch_state_dict(params["params"], sd)
-        params = {"params": jax.tree_util.tree_map(jnp.asarray, new_params)}
-        logger.info("imported %d torch tensors", report["matched"])
+        if msg:
+            params = {"params": new_params}
+            logger.info("%s", msg)
 
     iou_types = (
         ("bbox",)

@@ -80,9 +80,6 @@ def train(cfg, logger):
     from cvpr22_cross_modal_pseudo_labeling_tpu.engine.checkpoint import (
         latest_checkpoint,
         load_checkpoint,
-        apply_reference_key_surgery,
-        import_torch_state_dict,
-        load_torch_checkpoint,
         populate_student_from_teacher,
     )
     from cvpr22_cross_modal_pseudo_labeling_tpu.engine.optimizer import (
@@ -126,7 +123,14 @@ def train(cfg, logger):
         cfg.DATALOADER.USE_GRAIN and has_loader_state and start_iter > 0
     )
 
-    model = build_detection_model(cfg)
+    from cvpr22_cross_modal_pseudo_labeling_tpu.parallel.mesh import (
+        data_axis_size,
+    )
+
+    model = build_detection_model(
+        cfg,
+        data_shards=data_axis_size(cfg.TPU.MESH_AXES, cfg.TPU.MESH_SHAPE),
+    )
     loader, dataset = make_data_loader(
         cfg,
         is_train=True,
@@ -237,67 +241,28 @@ def train(cfg, logger):
         None if resuming and meta_arch not in ST_FAMILY
         else resolve_weight_path(cfg.MODEL.WEIGHT)
     )
-    if weight_path and os.path.isdir(weight_path):
-        # an orbax checkpoint from an earlier stage of THIS framework
-        # (the documented MMSS -> teacher -> student pipeline): either a
-        # model_XXXXXXX dir or an OUTPUT_DIR whose last_checkpoint tag
-        # names one
+    if weight_path:
         from cvpr22_cross_modal_pseudo_labeling_tpu.engine.checkpoint import (
-            extract_params_tree,
-            import_flax_params,
+            import_external_weights,
         )
 
-        ckpt_dir = latest_checkpoint(weight_path) or weight_path
-        src = extract_params_tree(load_checkpoint(ckpt_dir))
-        new_params, report = import_flax_params(
-            params["params"],
-            src,
-            load_emb_pred_from_mmss_head=(
-                cfg.MODEL.LOAD_EMB_PRED_FROM_MMSS_HEAD
-            ),
-            default_mmss_head=cfg.MODEL.MMSS_HEAD.DEFAULT_HEAD,
-            load_classifier=cfg.MODEL.LOAD_CLASSIFIER,
+        new_params, msg = import_external_weights(
+            params["params"], weight_path, cfg
         )
-        params = dict(params)
-        params["params"] = jax.tree_util.tree_map(jnp.asarray, new_params)
-        logger.info(
-            "imported %d leaves from orbax checkpoint %s "
-            "(%d source leaves unmatched)",
-            report["matched"], ckpt_dir, len(report["missed_source_keys"]),
-        )
-    elif weight_path and weight_path.endswith(".pkl") and os.path.exists(
-        weight_path
+        if msg:
+            params = dict(params)
+            params["params"] = new_params
+            logger.info("%s", msg)
+
+    # applied on ST resume as well: the ST class-name embeddings are
+    # computed from this table BEFORE the checkpoint restore below.
+    # For every other architecture the restore overwrites it, so a
+    # resume skips the resolution entirely (same lazy guard as
+    # MODEL.WEIGHT — a moved weight file or cold URL cache must not
+    # abort a resume that never uses it)
+    if cfg.MODEL.LANGUAGE_WEIGHT and not (
+        resuming and meta_arch not in ST_FAMILY
     ):
-        from cvpr22_cross_modal_pseudo_labeling_tpu.engine.c2_loading import (
-            import_c2_imagenet_weights,
-        )
-
-        new_params, report = import_c2_imagenet_weights(
-            params["params"], weight_path
-        )
-        params = dict(params)
-        params["params"] = jax.tree_util.tree_map(jnp.asarray, new_params)
-        logger.info("imported %d caffe2 blobs", report["matched"])
-    elif weight_path and os.path.exists(weight_path):
-        sd = load_torch_checkpoint(weight_path)
-        sd = apply_reference_key_surgery(
-            sd,
-            backbone_prefix=cfg.MODEL.BACKBONE_PREFIX,
-            load_emb_pred_from_mmss_head=cfg.MODEL.LOAD_EMB_PRED_FROM_MMSS_HEAD,
-            default_mmss_head=cfg.MODEL.MMSS_HEAD.DEFAULT_HEAD,
-            load_classifier=cfg.MODEL.LOAD_CLASSIFIER,
-        )
-        new_params, report = import_torch_state_dict(params["params"], sd)
-        params = dict(params)
-        params["params"] = jax.tree_util.tree_map(jnp.asarray, new_params)
-        logger.info(
-            "imported %d torch tensors (%d source keys unmatched)",
-            report["matched"], len(report["missed_source_keys"]),
-        )
-
-    # applied on resume as well: the ST class-name embeddings are
-    # computed from this table BEFORE the checkpoint restore below
-    if cfg.MODEL.LANGUAGE_WEIGHT:
         from cvpr22_cross_modal_pseudo_labeling_tpu.engine.checkpoint import (
             import_language_table,
         )
