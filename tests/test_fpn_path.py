@@ -277,3 +277,63 @@ def test_fpn_post_nms_per_batch_group_granularity():
             anchor_list, obj[:3], reg[:3], image_sizes=sizes[:3],
             per_batch_groups=2, **common,
         )
+
+
+def test_grouped_fpn_selection_under_8dev_mesh():
+    """per_batch_groups=8 over an 8-device data mesh (one image per
+    shard): the grouped train-time top-N compiles under GSPMD with the
+    batch actually sharded and matches the unsharded computation —
+    production wiring (train_net passes the mesh's data-axis size as
+    the group count)."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from cvpr22_cross_modal_pseudo_labeling_tpu.models.rpn.rpn import (
+        select_proposals_multi_level,
+    )
+    from cvpr22_cross_modal_pseudo_labeling_tpu.parallel.mesh import (
+        make_mesh,
+    )
+
+    rng = np.random.RandomState(11)
+
+    def grid(n, step, size):
+        xs = (np.arange(n) * step).astype(np.float32)
+        return np.stack(
+            [xs, np.zeros(n, np.float32), xs + size, np.full(n, size, np.float32)],
+            axis=1,
+        )
+
+    anchor_list = [jnp.asarray(grid(8, 40.0, 16.0)), jnp.asarray(grid(6, 50.0, 20.0))]
+    b, n_tot = 8, 14
+    obj = np.asarray(rng.randn(b, n_tot), np.float32) * 4.0
+    reg = np.zeros((b, n_tot, 4), np.float32)
+    sizes = np.full((b, 2), 512.0, np.float32)
+
+    def select(o, r, s):
+        return select_proposals_multi_level(
+            anchor_list, o, r, s,
+            pre_nms_top_n=16, post_nms_top_n=16, nms_thresh=0.7,
+            min_size=0.0, nms_tile=32, fpn_post_nms_top_n=5,
+            fpn_post_nms_per_batch=True, per_batch_groups=8,
+        )
+
+    mesh = make_mesh(("data",), (8,))
+    sh = NamedSharding(mesh, P("data"))
+    out_sharded = jax.jit(select)(
+        jax.device_put(obj, sh),
+        jax.device_put(reg, sh),
+        jax.device_put(sizes, sh),
+    )
+    out_host = select(jnp.asarray(obj), jnp.asarray(reg), jnp.asarray(sizes))
+
+    np.testing.assert_array_equal(
+        np.asarray(out_sharded.valid), np.asarray(out_host.valid)
+    )
+    np.testing.assert_allclose(
+        np.asarray(out_sharded.scores), np.asarray(out_host.scores), rtol=1e-6
+    )
+    np.testing.assert_allclose(
+        np.asarray(out_sharded.boxes), np.asarray(out_host.boxes), rtol=1e-6
+    )
+    # each image (its own group) keeps its own top-5
+    assert np.asarray(out_sharded.valid).sum(axis=1).tolist() == [5] * 8
