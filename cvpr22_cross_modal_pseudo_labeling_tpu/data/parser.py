@@ -102,23 +102,51 @@ class LVISParser:
         for key in self.look_up:
             self._key_words.update(key.replace("-", " ").split())
 
+    # -ing words that are noun-dominant in caption usage: spaCy (the
+    # reference lemmatizer) lemmatizes nouns to themselves, so stemming
+    # these would mint category ids the reference never emits ("salad
+    # dressing" -> dress, "bedding" -> bed).  Ambiguous verbal/noun
+    # words ("setting", "bearing", "batting") deliberately stay
+    # stemmable: their verbal caption uses ("sun setting") lemmatize to
+    # the stem in the reference too, and the reference's match is
+    # equally sense-blind.
+    _NOUN_ING = frozenset(
+        "bedding booking canning caring clothing decking dressing "
+        "housing icing matting mugging padding paneling panelling "
+        "railing topping".split()
+    )
+
     def _degerund(self, tok: str) -> str:
         """spaCy lemmatizes gerunds in verbal position to the verb stem
         ("skiing" -> "ski"), which the reference relies on to catch
         activity captions naming LVIS objects ("a man skiing" -> ski).
         Context-free approximation: map an -ing token to its stem only
-        when the stem is a known key word and the token itself is not
-        (so noun gerunds that ARE categories, e.g. "painting", stay)."""
+        when the stem is a known key word, the token itself is not
+        (so noun gerunds that ARE categories, e.g. "painting", stay),
+        and the token is not a noun-dominant -ing word (_NOUN_ING)."""
         if (
             not tok.endswith("ing")
             or len(tok) <= 4
             or tok in self._key_words
+            or tok in self._NOUN_ING
         ):
             return tok
-        cands = [tok[:-3]]
+        bare = tok[:-3]
+        cands = [bare]
         if len(tok) > 5 and tok[-4] == tok[-5]:
             cands.append(tok[:-4])  # drumming -> drum
-        cands.append(tok[:-3] + "e")  # saute-type stems
+        cands.append(bare + "e")  # saute-type stems
+        if (
+            len(bare) >= 3
+            and bare[-1] not in "aeiouwxy"
+            and bare[-2] in "aeiou"
+            and bare[-3] not in "aeiou"
+        ):
+            # single final consonant after a short vowel: the bare stem
+            # would have doubled its consonant before -ing ("tubbing"),
+            # so the e-stem is the right reading ("tubing" -> tube, not
+            # tub; "biking" -> bike)
+            cands = [bare + "e", bare]
         for c in cands:
             if c in self._key_words:
                 return c

@@ -141,11 +141,6 @@ def do_train(
     last_finite_iter = start_iter
     end = time.perf_counter()
     for batch, _ in loader:
-        if iteration >= max_iter:
-            # hard budget guard: never step past MAX_ITER even if the
-            # loader yields surplus batches (e.g. a stream restored at
-            # an earlier position than the optimizer state)
-            break
         if extra_batch:
             batch = {**batch, **extra_batch}
         if shardings is None:
@@ -186,14 +181,18 @@ def do_train(
                     "through divergence)", total, iteration,
                 )
                 # publish the pending pipelined checkpoint ONLY if it
-                # predates the last finite loss observation — a save
-                # taken after it may hold post-divergence (NaN) params,
-                # and publishing it would make the implicit resume
-                # restore the blow-up; otherwise drop it so
-                # last_checkpoint keeps pointing at the previous
-                # published (confirmed-era) save
+                # STRICTLY predates the last finite loss observation:
+                # the save at iteration k holds post-update-k params,
+                # while the loss logged at k was computed from the
+                # pre-update params — so only a finite loss at an
+                # iteration AFTER k validates the saved params.  A save
+                # taken at-or-after the last finite check may hold
+                # post-divergence (NaN) params; publishing it would make
+                # the implicit resume restore the blow-up, so drop it
+                # and keep last_checkpoint at the previous published
+                # (confirmed-era) save
                 pending = pending_checkpoint_step()
-                if pending is not None and pending > last_finite_iter:
+                if pending is not None and pending >= last_finite_iter:
                     logger.warning(
                         "dropping pending checkpoint at iteration %d "
                         "(after last finite loss at %d — may hold "
@@ -245,6 +244,9 @@ def do_train(
             eval_fn(state, iteration)
         end = time.perf_counter()
         if iteration >= max_iter:
+            # hard budget guard: never step past MAX_ITER even if the
+            # loader yields surplus batches (e.g. a stream restored at
+            # an earlier position than the optimizer state)
             break
 
     if output_dir:

@@ -182,13 +182,17 @@ def select_proposals_multi_level(
     k = min(fpn_top_n, boxes.shape[1])
     if fpn_post_nms_per_batch:
         # per-group top-N scatter mask (inference.py:162-171; group =
-        # the reference's per-GPU minibatch)
+        # the reference's per-GPU minibatch).  Partial trailing batches
+        # (DATALOADER.DROP_LAST False flushes leftovers every epoch)
+        # fall back to the coarsest compatible grouping instead of
+        # failing: gcd keeps the full-batch case exactly per-shard and
+        # degrades gracefully on stragglers (the reference's equivalent
+        # — a short last batch unevenly split across GPUs — has no
+        # well-defined grouping either).
+        import math
+
         b, p = keyed.shape
-        g = max(per_batch_groups, 1)
-        if b % g:
-            raise ValueError(
-                f"batch {b} not divisible by per_batch_groups {g}"
-            )
+        g = math.gcd(b, max(per_batch_groups, 1))
         flat = keyed.reshape(g, (b // g) * p)
         n_keep = min(fpn_top_n, flat.shape[1])
         _, flat_idx = jax.lax.top_k(flat, n_keep)

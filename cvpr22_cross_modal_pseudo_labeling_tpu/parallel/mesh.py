@@ -16,17 +16,23 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
+def _resolve_shape(shape: Sequence[int], n_devices: int):
+    """Resolves a single -1 wildcard against the device count (the
+    numpy-reshape convention)."""
+    shape = list(shape)
+    if -1 in shape:
+        known = int(np.prod([s for s in shape if s != -1]))
+        shape[shape.index(-1)] = n_devices // max(known, 1)
+    return shape
+
+
 def make_mesh(
     axes: Sequence[str] = ("data",),
     shape: Sequence[int] = (-1,),
     devices=None,
 ) -> Mesh:
     devices = devices if devices is not None else jax.devices()
-    shape = list(shape)
-    n = len(devices)
-    if -1 in shape:
-        known = int(np.prod([s for s in shape if s != -1]))
-        shape[shape.index(-1)] = n // max(known, 1)
+    shape = _resolve_shape(shape, len(devices))
     dev_array = np.asarray(devices).reshape(shape)
     return Mesh(dev_array, tuple(axes))
 
@@ -43,10 +49,7 @@ def data_axis_size(
     if axis not in axes:
         return 1
     n = n_devices if n_devices is not None else jax.device_count()
-    shape = list(shape)
-    if -1 in shape:
-        known = int(np.prod([s for s in shape if s != -1]))
-        shape[shape.index(-1)] = n // max(known, 1)
+    shape = _resolve_shape(shape, n)
     return int(shape[list(axes).index(axis)])
 
 

@@ -269,14 +269,14 @@ def test_fpn_post_nms_per_batch_group_granularity():
             rtol=1e-6,
         )
 
-    # indivisible batch is an explicit error, not silent truncation
-    import pytest
-
-    with pytest.raises(ValueError, match="divisible"):
-        select_proposals_multi_level(
-            anchor_list, obj[:3], reg[:3], image_sizes=sizes[:3],
-            per_batch_groups=2, **common,
-        )
+    # a partial trailing batch (DROP_LAST False flushes leftovers every
+    # epoch) must not fail: indivisible batch falls back to the
+    # coarsest compatible grouping (gcd(3, 2) = 1 -> one global group)
+    out_partial = select_proposals_multi_level(
+        anchor_list, obj[:3], reg[:3], image_sizes=sizes[:3],
+        per_batch_groups=2, **common,
+    )
+    assert np.asarray(out_partial.valid).sum() == 5
 
 
 def test_grouped_fpn_selection_under_8dev_mesh():

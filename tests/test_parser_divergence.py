@@ -91,3 +91,23 @@ def test_gerund_object_recall(fixture_entries):
     # noun gerunds that ARE categories stay themselves: "painting"
     nns, ids = p.parse("a painting hanging on the wall")
     assert any("painting" in n for n in nns), (nns, ids)
+
+
+def test_noun_ing_words_not_stemmed():
+    """Noun-dominant -ing words must NOT stem into category ids the
+    reference's POS-aware spaCy lemmatizer never emits ("salad
+    dressing" is not a dress, "bedding" is not a bed)."""
+    p = get_parser()
+    for cap, wrong in [
+        ("salad dressing on the table", "dress"),
+        ("fresh bedding in a basket", "bed"),
+        ("extra padding around the box", "pad"),
+        ("bamboo matting on the floor", "mat"),
+        ("canning jars on a shelf", "can"),
+        ("a caring gesture", "car"),
+    ]:
+        nns, _ = p.parse(cap)
+        assert wrong not in nns, (cap, nns)
+    # single-final-consonant tokens prefer the e-stem: the bare stem
+    # would have doubled its consonant before -ing
+    assert p._degerund("biking") == "bike"

@@ -187,6 +187,25 @@ def test_non_finite_abort_does_not_publish_diverged_checkpoint(tmp_path):
     assert latest_checkpoint(out_a) is None
     assert not os.path.isdir(os.path.join(out_a, "model_0000003"))
 
+    # boundary: pending ckpt at EXACTLY the last finite check must be
+    # dropped — the save at iter k holds post-update-k params while the
+    # finite loss at k was computed pre-update, so update k itself is
+    # unvalidated (LOG=CKPT=2, NaN from step 3 -> detected at 4,
+    # pending=2, last_finite=2)
+    cfg.SOLVER.CHECKPOINT_PERIOD = 2
+    state_c = create_train_state(
+        {"params": {"w": jnp.ones((3,))}}, optax.sgd(0.1),
+        jax.random.PRNGKey(0),
+    )
+    out_c = str(tmp_path / "c")
+    with pytest.raises(FloatingPointError):
+        do_train(
+            make_nan_step(3), state_c, FakeLoader(10), mesh, cfg,
+            output_dir=out_c,
+        )
+    assert latest_checkpoint(out_c) is None
+    cfg.SOLVER.CHECKPOINT_PERIOD = 3
+
     # NaN at step 5 -> detected at iter 6; pending ckpt from iter 3
     # predates the finite check at iter 4 -> published as usual
     state2 = create_train_state(

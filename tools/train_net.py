@@ -231,15 +231,16 @@ def train(cfg, logger):
     )
 
     # On a resume the checkpoint restore below overwrites params
-    # wholesale, so skip the init-weight resolution + import (the
-    # reference checkpointer likewise ignores MODEL.WEIGHT once a
-    # checkpoint exists, utils/checkpoint.py:55-63) — except for the ST
-    # family, whose LVIS class-name embeddings are precomputed from the
-    # imported bundle's (frozen) BERT and must match the fresh-run path.
+    # wholesale, so skip the init-weight resolution + import entirely
+    # (the reference checkpointer likewise ignores MODEL.WEIGHT once a
+    # checkpoint exists, utils/checkpoint.py:55-63).  The ST family's
+    # LVIS class-name embeddings are then computed AFTER the restore
+    # from the restored (frozen) BERT — identical to the fresh-run
+    # values without reloading the multi-GB init bundle on every
+    # relaunch.
     resuming = bool(last and cfg.MODEL.LOAD_TRAINER_STATE)
     weight_path = (
-        None if resuming and meta_arch not in ST_FAMILY
-        else resolve_weight_path(cfg.MODEL.WEIGHT)
+        None if resuming else resolve_weight_path(cfg.MODEL.WEIGHT)
     )
     if weight_path:
         from cvpr22_cross_modal_pseudo_labeling_tpu.engine.checkpoint import (
@@ -254,15 +255,10 @@ def train(cfg, logger):
             params["params"] = new_params
             logger.info("%s", msg)
 
-    # applied on ST resume as well: the ST class-name embeddings are
-    # computed from this table BEFORE the checkpoint restore below.
-    # For every other architecture the restore overwrites it, so a
-    # resume skips the resolution entirely (same lazy guard as
-    # MODEL.WEIGHT — a moved weight file or cold URL cache must not
-    # abort a resume that never uses it)
-    if cfg.MODEL.LANGUAGE_WEIGHT and not (
-        resuming and meta_arch not in ST_FAMILY
-    ):
+    # skipped on resume like MODEL.WEIGHT: the restore supplies the
+    # language table, and a moved weight file or cold URL cache must
+    # not abort a resume that never uses it
+    if cfg.MODEL.LANGUAGE_WEIGHT and not resuming:
         from cvpr22_cross_modal_pseudo_labeling_tpu.engine.checkpoint import (
             import_language_table,
         )
@@ -276,10 +272,12 @@ def train(cfg, logger):
             report["matched"], lw,
         )
 
-    if meta_arch in ST_FAMILY and not cfg.MODEL.RESUME:
+    if meta_arch in ST_FAMILY and not cfg.MODEL.RESUME and not resuming:
         # prepare_model (reference st_generalized_rcnn.py:191-199): at
         # iteration 0 the student starts from a copy of the teacher
-        # roi_heads, unless MODEL.RESUME continues a previous ST run.
+        # roi_heads, unless MODEL.RESUME (or an implicit OUTPUT_DIR
+        # resume, whose restore supplies the student) continues a
+        # previous ST run.
         new_params, n_copied = populate_student_from_teacher(
             params["params"]
         )
@@ -297,7 +295,7 @@ def train(cfg, logger):
 
         save_labels(dataset.class_names, cfg.OUTPUT_DIR)
 
-    if meta_arch in ST_FAMILY:
+    if meta_arch in ST_FAMILY and not resuming:
         tokenizer = build_tokenizer(cfg)
         extra_batch["lvis_class_embeddings"] = compute_class_name_embeddings(
             model, params, lvis_names, tokenizer
@@ -332,6 +330,16 @@ def train(cfg, logger):
 
             if restore_loader_state(cfg.OUTPUT_DIR, loader):
                 logger.info("data stream resumed from loader_state.json")
+        if meta_arch in ST_FAMILY:
+            # LVIS class-name embeddings from the restored (frozen)
+            # BERT — identical to the fresh-run values computed from
+            # the init bundle, without reloading it
+            tokenizer = build_tokenizer(cfg)
+            extra_batch["lvis_class_embeddings"] = (
+                compute_class_name_embeddings(
+                    model, state.params, lvis_names, tokenizer
+                )
+            )
 
     mesh = make_mesh(cfg.TPU.MESH_AXES, cfg.TPU.MESH_SHAPE)
     step_fn = jit_train_step(
