@@ -42,13 +42,11 @@ def evaluate(
     by dataset type)."""
     coco = dataset.coco
     if getattr(dataset, "eval_protocol", "coco") == "voc":
-        from .voc_eval import eval_detection_voc
+        from .voc_eval import eval_detection_voc_all_metrics
 
         results = {}
-        for tag, use07 in (("", False), ("_07metric", True)):
-            out = eval_detection_voc(
-                detections, coco, use_07_metric=use07
-            )
+        cont, points11 = eval_detection_voc_all_metrics(detections, coco)
+        for tag, out in (("", cont), ("_07metric", points11)):
             for k, v in out.items():
                 results[f"bbox/{k}{tag}"] = v
         failures = check_expected_results(

@@ -57,7 +57,12 @@ def compress_counts(counts: Sequence[int]) -> str:
     if n == 0:
         return ""
     x = arr.copy()
-    x[2:] = arr[2:] - arr[:-2]  # delta coding
+    # delta coding from index 3 onward — maskApi.c rleToString uses
+    # `if(i>2) x-=cnts[i-2]`, i.e. the first THREE counts are raw (a
+    # commonly mis-ported quirk; starting at index 2 breaks
+    # interoperability with every pycocotools-compressed string whose
+    # leading zero-run is nonzero)
+    x[3:] = arr[3:] - arr[1:-2]
     max_groups = 13  # ceil(64 / 5) covers any int64 delta
     chunks = np.zeros((max_groups, n), np.uint8)
     emitted = np.zeros((max_groups, n), bool)
@@ -80,26 +85,38 @@ def compress_counts(counts: Sequence[int]) -> str:
 
 
 def decompress_counts(s: Union[str, bytes]) -> List[int]:
-    if isinstance(s, bytes):
-        s = s.decode("ascii")
-    counts: List[int] = []
-    i = 0
-    while i < len(s):
-        x = 0
-        shift = 0
-        more = True
-        while more:
-            c = ord(s[i]) - 48
-            x |= (c & 0x1F) << shift
-            more = bool(c & 0x20)
-            i += 1
-            if not more and (c & 0x10):
-                x |= -1 << (shift + 5)  # sign extend
-            shift += 5
-        if len(counts) >= 2:
-            x += counts[-2]
-        counts.append(x)
-    return counts
+    """Vectorized inverse of compress_counts (the segm-eval hot path
+    decodes ~100 RLEs per image, each for area AND IoU): chunk groups
+    found from the continuation bit, per-group 5-bit recombination via
+    segmented shifts, then the maskApi.c `if(m>2)` delta undone as two
+    interleaved cumulative sums (even/odd index chains)."""
+    if isinstance(s, str):
+        s = s.encode("ascii")
+    if not s:
+        return []
+    c = np.frombuffer(s, np.uint8).astype(np.int64) - 48
+    more = (c & 0x20) != 0
+    # group id per chunk: a new value starts after each chunk with the
+    # continuation bit clear
+    starts = np.concatenate([[True], ~more[:-1]])
+    gid = np.cumsum(starts) - 1
+    n = int(gid[-1]) + 1
+    # position of each chunk within its group -> shift amount
+    start_idx = np.flatnonzero(starts)
+    pos = np.arange(len(c)) - start_idx[gid]
+    vals = np.zeros(n, np.int64)
+    np.add.at(vals, gid, (c & 0x1F) << (5 * pos))
+    # sign extension: the LAST chunk of a group with bit 0x10 set
+    last = ~more
+    neg = last & ((c & 0x10) != 0)
+    np.add.at(vals, gid[neg], (-1 << (5 * (pos[neg] + 1))))
+    # undo the index>2 delta: counts[i] = vals[i] + counts[i-2] for
+    # i >= 3 — two cumsum chains (odd indices from counts[1], even
+    # from counts[2])
+    if n > 3:
+        vals[3::2] = np.cumsum(np.concatenate([[vals[1]], vals[3::2]]))[1:]
+        vals[4::2] = np.cumsum(np.concatenate([[vals[2]], vals[4::2]]))[1:]
+    return vals.tolist()
 
 
 def encode_mask(mask: np.ndarray) -> RLE:

@@ -135,6 +135,42 @@ def test_segm_evaluation(tmp_path):
     assert ev.summarize()["AP"] == pytest.approx(1.0)
 
 
+def test_segm_evaluation_box_only_gt_does_not_crash(tmp_path):
+    """GT annotations without ANY segmentation (box-only pseudo-label
+    datasets) must be dropped from the segm protocol, not KeyError the
+    evaluator (pycocotools' annToRLE would crash here — documented
+    robustness divergence)."""
+    m = np.zeros((100, 100), np.uint8)
+    m[10:30, 10:30] = 1
+    gts = [
+        {
+            "image_id": 1,
+            "category_id": 1,
+            "bbox": [10, 10, 20, 20],
+            "segmentation": encode_mask(m),
+        },
+        # box-only GT in the same (image, category) cell
+        {"image_id": 1, "category_id": 1, "bbox": [50, 50, 20, 20]},
+    ]
+    idx = make_index(tmp_path, gts)
+    ev = CocoStyleEvaluator(idx, "segm")
+    ev.update(
+        [
+            {
+                "image_id": 1,
+                "category_id": 1,
+                "bbox": [10, 10, 20, 20],
+                "score": 0.8,
+                "segmentation": encode_mask(m),
+            }
+        ]
+    )
+    ev.accumulate()
+    # the box-only GT is excluded entirely: full recall on the one
+    # maskable GT
+    assert ev.summarize()["AP"] == pytest.approx(1.0)
+
+
 def test_per_class_and_split_ap50(tmp_path):
     gts = [
         {"image_id": 1, "category_id": 1, "bbox": [10, 10, 20, 20]},

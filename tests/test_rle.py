@@ -47,6 +47,21 @@ def test_compression_spec_known_value():
     assert decompress_counts(s) == [0, 1, 8]
 
 
+def test_compression_pycocotools_interop_vector():
+    """Ground-truth vector pinning the maskApi.c convention: deltas
+    start at index 3 (`if(i>2) x-=cnts[i-2]`), the first THREE counts
+    raw.  Hand-derived per rleToString's 6-bit LEB scheme:
+      [5, 10, 20, 7, 30, 8] -> raw stream [5, 10, 20, -3, 10, 1]
+      5->'5', 10->':', 20->'d0' (0x10 bit forces a continuation
+      chunk), -3->'M' (sign-extended), 10->':', 1->'1'.
+    An index-2 delta start (the common mis-port) would emit 15 for the
+    third count and fail both directions — internal round-trip tests
+    cannot catch that, only a fixed vector can."""
+    counts = [5, 10, 20, 7, 30, 8]
+    assert compress_counts(counts) == "5:d0M:1"
+    assert decompress_counts("5:d0M:1") == counts
+
+
 def test_area_and_iou():
     a = np.zeros((10, 10), np.uint8)
     a[:5, :] = 1
