@@ -21,9 +21,10 @@ import numpy as np
 A100_REFERENCE_IMGS_PER_SEC = 4.0
 
 
-def headline(batch_size: int):
-    """Runs the headline teacher-train bench in THIS process and prints
-    its JSON line (invoked as a subprocess by main)."""
+def headline(batch_size: int, emit: bool = True):
+    """Runs the headline teacher-train bench in THIS process; prints
+    its JSON line when ``emit`` (the subprocess entry) and returns the
+    dict (the in-process fallback adds notes before printing)."""
     import jax
 
     # persistent compilation cache: the first bench run warms it so later
@@ -163,7 +164,9 @@ def headline(batch_size: int):
     except Exception as e:  # cost analysis unsupported on this backend
         out["mfu_note"] = f"cost_analysis unavailable: {type(e).__name__}"
 
-    print(json.dumps(out))
+    if emit:
+        print(json.dumps(out))
+    return out
 
 
 def _sub_bench(args, timeout=3600):
@@ -182,10 +185,16 @@ def _sub_bench(args, timeout=3600):
         text=True,
         timeout=timeout,
     )
-    line = [
+    lines = [
         ln for ln in proc.stdout.strip().splitlines() if ln.startswith("{")
-    ][-1]
-    return json.loads(line)
+    ]
+    if not lines:
+        # surface the subprocess's failure reason, not a bare IndexError
+        raise RuntimeError(
+            f"no JSON output (rc={proc.returncode}): "
+            + (proc.stderr or "")[-400:]
+        )
+    return json.loads(lines[-1])
 
 
 def main():
@@ -194,16 +203,34 @@ def main():
         headline(int(argv[0]) if argv else 8)
         return
 
+    import subprocess
+
     batch_size = int(sys.argv[1]) if len(sys.argv) > 1 else 8
     here = os.path.dirname(os.path.abspath(__file__))
+    out = None
     try:
         out = _sub_bench(
             [os.path.join(here, "bench.py"), "--headline", str(batch_size)]
         )
-    except Exception:
-        # subprocess path failed (e.g. restricted spawn) — run in-process
-        headline(batch_size)
-        return
+    except subprocess.TimeoutExpired:
+        # do NOT rerun the same (possibly hung) bench in-process with no
+        # bound — emit a flagged line instead of stalling the driver
+        out = {
+            "metric": "maskrcnn_r50c4_train_imgs_per_sec_per_chip",
+            "value": 0.0,
+            "unit": "imgs/sec/chip",
+            "vs_baseline": 0.0,
+            "headline_note": "headline subprocess timed out",
+        }
+    except Exception as e:
+        # subprocess path failed (e.g. restricted spawn) — run
+        # in-process, keeping the failure reason and still attempting
+        # the secondary benches below
+        sys.stderr.write(f"headline subprocess failed: {e}\n")
+        out = headline(batch_size, emit=False)
+        out["headline_note"] = (
+            f"subprocess failed ({type(e).__name__}); ran in-process"
+        )
 
     # secondary workloads (VERDICT r2 items 3-4: track MMSS + ST-distill
     # in the driver-recorded line, not just BENCH_NOTES); skip with
@@ -228,7 +255,7 @@ def main():
                     if k in data:
                         out[f"{prefix}_{k}"] = data[k]
             except Exception as e:
-                out[f"{prefix}_note"] = f"{type(e).__name__}"
+                out[f"{prefix}_note"] = f"{type(e).__name__}: {str(e)[:200]}"
 
     print(json.dumps(out))
 

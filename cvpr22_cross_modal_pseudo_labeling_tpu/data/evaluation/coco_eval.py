@@ -184,12 +184,13 @@ class CocoStyleEvaluator:
         AREA_RANGES of (scores, dt_match [T,D], dt_ignore [T,D], n_gt)."""
         dts = sorted(dts, key=lambda d: -d["score"])[:max_det]
         if self.iou_type == "segm":
-            # box-only GT annotations (no segmentation even after
-            # attach_gt_segmentations) cannot be mask-matched; drop
-            # them from the segm protocol instead of crashing.
-            # (pycocotools' annToRLE raises here — robustness
-            # divergence, documented.)
-            gts = [g for g in gts if g.get("segmentation") is not None]
+            # box-only GT annotations (segmentation absent or an empty
+            # polygon list, even after attach_gt_segmentations) cannot
+            # be mask-matched; drop them from the segm protocol instead
+            # of crashing or counting an unmatchable zero-area mask
+            # into the recall denominator.  (pycocotools' annToRLE
+            # raises here — robustness divergence, documented.)
+            gts = [g for g in gts if g.get("segmentation")]
         iscrowd_raw = [bool(g.get("iscrowd", 0)) for g in gts]
         if self.iou_type == "keypoints":
             ious_raw = oks_matrix(dts, gts, iscrowd_raw)

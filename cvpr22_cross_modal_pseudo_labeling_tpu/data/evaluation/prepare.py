@@ -93,7 +93,10 @@ def attach_gt_segmentations(coco_index):
         info = coco_index.imgs[img_id]
         for a in anns:
             seg = a.get("segmentation")
-            if seg is None:
+            if not seg:
+                # None or [] (box-only GT in some COCO-style exports):
+                # leave it mask-less so the segm protocol drops it
+                # instead of minting an unmatchable zero-area RLE
                 continue
             if isinstance(seg, dict) and isinstance(
                 seg.get("counts"), str

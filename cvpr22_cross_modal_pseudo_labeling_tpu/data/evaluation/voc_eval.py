@@ -30,11 +30,16 @@ def _per_class_pr(
     """One greedy-matching pass per class over annotations grouped by
     (image, category) -> {cat: (recall, precision, n_pos)}."""
     cat_ids = coco_index.get_cat_ids()
-    # group gt by (image, category) in ONE pass over all annotations
-    gts_by = {}
+    # group gt by category then image in ONE pass over all annotations
+    # (keyed cat-first so each class below only touches its own groups
+    # — flat (img, cat) keys would cost O(classes x groups) rescans at
+    # LVIS scale)
+    gts_by: Dict[int, Dict[int, list]] = {}
     for img in coco_index.get_img_ids():
         for g in coco_index.load_anns_for_image(img):
-            gts_by.setdefault((img, g["category_id"]), []).append(g)
+            gts_by.setdefault(g["category_id"], {}).setdefault(
+                img, []
+            ).append(g)
     dets_by_cat: Dict[int, List[dict]] = {c: [] for c in cat_ids}
     for d in detections:
         if d["category_id"] in dets_by_cat:
@@ -44,9 +49,7 @@ def _per_class_pr(
     for cat in cat_ids:
         entries = {}
         n_pos = 0
-        for (img, c), gts in gts_by.items():
-            if c != cat:
-                continue
+        for img, gts in gts_by.get(cat, {}).items():
             flags = [bool(g.get("iscrowd", 0)) for g in gts]
             n_pos += sum(1 for f in flags if not f)
             entries[img] = (

@@ -184,7 +184,11 @@ def build_val_loss_step(model, meta_arch: str) -> Callable:
 
 
 _REPLICATED_BATCH_KEYS = ("class_embeddings", "lvis_class_embeddings")
-_ALWAYS_REPLICATED_KEYS = ("class_lvis_ids",)  # small [C] index vector
+# small per-vocabulary arrays, never batch-sharded: the [C] LVIS id
+# vector and the FT_EMB tokenized class names ([C, T] ids/mask)
+_ALWAYS_REPLICATED_KEYS = (
+    "class_lvis_ids", "lvis_name_ids", "lvis_name_mask",
+)
 
 
 def batch_shardings(example_batch, mesh):

@@ -304,13 +304,14 @@ def restore_loader_state(output_dir: str, loader) -> bool:
         return False
 
 
-def compute_class_name_embeddings(
-    model, params, class_names, tokenizer, token_len: int = 8
-) -> np.ndarray:
-    """BERT-table mean embeddings for a list of class names
-    (st_generalized_rcnn.py:202-209 extract_emb), computed once on
-    device.  Returns [C, emb_dim] L2-normalized (zero rows for empty
-    names, e.g. background)."""
+def tokenize_class_names(class_names, tokenizer, token_len: int = 8):
+    """Tokenize class names into (ids, mask) int32 [C, T] for
+    extract_word_embeddings; empty/"bg" names get all-zero rows (their
+    embedding comes out zero, the background convention).  Used both to
+    precompute the constant class table (FT_EMB off) and, with FT_EMB
+    on, shipped into the train step so the model rebuilds the table
+    from the live word embeddings each step (reference
+    st_generalized_rcnn.py:190-191)."""
     ids = np.zeros((len(class_names), token_len), np.int32)
     mask = np.zeros((len(class_names), token_len), np.int32)
     for i, name in enumerate(class_names):
@@ -320,6 +321,17 @@ def compute_class_name_embeddings(
         real = enc["attention_mask"] * (1 - enc["special_tokens_mask"])
         ids[i] = enc["input_ids"]
         mask[i] = real
+    return ids, mask
+
+
+def compute_class_name_embeddings(
+    model, params, class_names, tokenizer, token_len: int = 8
+) -> np.ndarray:
+    """BERT-table mean embeddings for a list of class names
+    (st_generalized_rcnn.py:202-209 extract_emb), computed once on
+    device.  Returns [C, emb_dim] L2-normalized (zero rows for empty
+    names, e.g. background)."""
+    ids, mask = tokenize_class_names(class_names, tokenizer, token_len)
     out = model.apply(
         params,
         jnp.asarray(ids),

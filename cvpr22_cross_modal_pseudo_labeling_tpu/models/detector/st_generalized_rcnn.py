@@ -497,6 +497,19 @@ class STGeneralizedRCNN(nn.Module):
         losses: Dict[str, jnp.ndarray] = {}
         info: Dict[str, jnp.ndarray] = {}
 
+        if "lvis_name_ids" in batch:
+            # MODEL.LANGUAGE_BACKBONE.FT_EMB: the reference recomputes
+            # the LVIS table from the live (trainable) word-embedding
+            # table every training forward and stores it undetached, so
+            # the pseudo-branch loss backprops into the word embeddings
+            # (reference st_generalized_rcnn.py:190-191 prepare_model ->
+            # extract_emb; roi_box_predictors.py:84-92
+            # set_class_embeddings).  With FT_EMB off the CLI passes a
+            # precomputed constant instead (same values, no grad path).
+            lvis_class_embeddings = self.extract_word_embeddings(
+                batch["lvis_name_ids"], batch["lvis_name_mask"]
+            )
+
         cap_mask = batch["cap_mask"]  # [B] bool: nn_caption != ''
         det_mask = batch["det_mask"]  # [B] bool: is_det == 'Yes'
 

@@ -193,6 +193,18 @@ def select_proposals_multi_level(
 
         b, p = keyed.shape
         g = math.gcd(b, max(per_batch_groups, 1))
+        if g != max(per_batch_groups, 1):
+            # shapes are static, so this fires once per trace, not per
+            # step — a visible signal that the grouping degraded (a
+            # trailing partial batch is expected; anything else likely
+            # means a misconfigured group count)
+            import logging
+
+            logging.getLogger("rpn").warning(
+                "FPN_POST_NMS_PER_BATCH: batch %d not divisible by "
+                "%d groups; falling back to gcd grouping g=%d",
+                b, per_batch_groups, g,
+            )
         flat = keyed.reshape(g, (b // g) * p)
         n_keep = min(fpn_top_n, flat.shape[1])
         _, flat_idx = jax.lax.top_k(flat, n_keep)

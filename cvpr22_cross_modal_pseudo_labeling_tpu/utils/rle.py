@@ -96,6 +96,11 @@ def decompress_counts(s: Union[str, bytes]) -> List[int]:
         return []
     c = np.frombuffer(s, np.uint8).astype(np.int64) - 48
     more = (c & 0x20) != 0
+    if more[-1]:
+        # the final chunk still has the continuation bit set: the string
+        # was cut mid-value.  Fail loudly like the scalar decoder's
+        # past-the-end read did, instead of returning a wrong count.
+        raise ValueError("truncated RLE counts string")
     # group id per chunk: a new value starts after each chunk with the
     # continuation bit clear
     starts = np.concatenate([[True], ~more[:-1]])

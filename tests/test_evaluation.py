@@ -151,6 +151,11 @@ def test_segm_evaluation_box_only_gt_does_not_crash(tmp_path):
         },
         # box-only GT in the same (image, category) cell
         {"image_id": 1, "category_id": 1, "bbox": [50, 50, 20, 20]},
+        # empty-polygon-list GT (present in some COCO-style exports):
+        # equally mask-less, must be dropped too, not rasterized into
+        # an unmatchable zero-area RLE
+        {"image_id": 1, "category_id": 1, "bbox": [70, 70, 20, 20],
+         "segmentation": []},
     ]
     idx = make_index(tmp_path, gts)
     ev = CocoStyleEvaluator(idx, "segm")

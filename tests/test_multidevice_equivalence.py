@@ -241,3 +241,33 @@ def test_hybrid_data_model_mesh_matches_1dev():
     for (lh, gh), (l1, g1) in zip(t_hybrid, t_1):
         np.testing.assert_allclose(lh, l1, rtol=2e-5)
         np.testing.assert_allclose(gh, g1, rtol=2e-4)
+
+
+def test_batch_shardings_ft_emb_keys_replicated():
+    """The FT_EMB tokenized-class-name arrays ([C, T] ids/mask) must be
+    replicated — NOT data-sharded (C is a vocabulary size, not a batch
+    dim) and NOT vocab-sharded like the float tables (the in-step
+    gather-by-id runs per shard)."""
+    import jax.sharding as shd
+
+    from cvpr22_cross_modal_pseudo_labeling_tpu.engine.train_step import (
+        batch_shardings,
+    )
+    from cvpr22_cross_modal_pseudo_labeling_tpu.parallel.mesh import (
+        make_mesh,
+    )
+
+    mesh = make_mesh(("data", "model"), (4, 2))
+    ex = {
+        "images": np.zeros((8, 32, 32, 3), np.float32),
+        "lvis_name_ids": np.zeros((20, 4), np.int32),
+        "lvis_name_mask": np.zeros((20, 4), np.int32),
+        "lvis_class_embeddings": np.zeros((20, 16), np.float32),
+    }
+    sh = batch_shardings(ex, mesh)
+    assert sh["lvis_name_ids"].spec == shd.PartitionSpec()
+    assert sh["lvis_name_mask"].spec == shd.PartitionSpec()
+    assert sh["lvis_class_embeddings"].spec == shd.PartitionSpec(
+        "model", None
+    )
+    assert sh["images"].spec[0] is not None

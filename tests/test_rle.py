@@ -62,6 +62,17 @@ def test_compression_pycocotools_interop_vector():
     assert decompress_counts("5:d0M:1") == counts
 
 
+def test_decompress_truncated_string_raises():
+    """A counts string cut mid-value (final chunk's continuation bit
+    still set) must raise, not silently decode a wrong trailing count
+    ('d0' is one 20-valued group: dropping its last chunk leaves the
+    continuation chunk 'd' dangling)."""
+    import pytest
+
+    with pytest.raises(ValueError):
+        decompress_counts("5:d")
+
+
 def test_area_and_iou():
     a = np.zeros((10, 10), np.uint8)
     a[:5, :] = 1

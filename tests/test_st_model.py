@@ -203,6 +203,53 @@ def test_st_exemplar_state_threads_through_train_step(st_setup):
     assert np.isfinite(float(metrics["total_loss"]))
 
 
+def test_st_ft_emb_in_step_table(st_setup):
+    """MODEL.LANGUAGE_BACKBONE.FT_EMB: with tokenized LVIS names in the
+    batch, the class table is rebuilt in-step from the live word
+    embeddings and the loss backprops into them (reference
+    st_generalized_rcnn.py:190-191 prepare_model -> extract_emb every
+    forward; roi_box_predictors.py:84-92 stores the tensor undetached).
+    Embedding rows referenced ONLY by class names (token ids 1..4 —
+    caption tokens are drawn from >=5) must get gradient on the FT_EMB
+    path and zero gradient on the precomputed-constant path."""
+    model, params, _zero_images, image_sizes, batch, class_emb, lvis_emb = (
+        st_setup
+    )
+    rng = np.random.RandomState(7)
+    name_ids = jnp.asarray(rng.randint(1, 5, (20, 4)), jnp.int32)
+    name_mask = jnp.ones((20, 4), jnp.int32)
+    # the shared fixture uses all-zero images, which make the pooled
+    # region embeddings exactly zero — logits are then identically zero
+    # and independent of the class table, hiding the grad path under
+    # test; use real pixel values here
+    images = jnp.asarray(rng.rand(2, 64, 64, 3), jnp.float32)
+
+    def loss_fn(p, b):
+        out = model.apply(
+            p, images, image_sizes, b, class_emb, lvis_emb, train=True,
+            rngs={
+                "sampler": jax.random.PRNGKey(5),
+                "uncertainty": jax.random.PRNGKey(6),
+            },
+        )
+        return sum(out.losses.values())
+
+    batch_ft = {**batch, "lvis_name_ids": name_ids,
+                "lvis_name_mask": name_mask}
+    g_ft = jax.grad(loss_fn)(params, batch_ft)["params"]["bert"][
+        "word_embeddings"
+    ]
+    g_const = jax.grad(loss_fn)(params, batch)["params"]["bert"][
+        "word_embeddings"
+    ]
+    name_row_grad_ft = float(jnp.sum(jnp.abs(g_ft[1:5])))
+    name_row_grad_const = float(jnp.sum(jnp.abs(g_const[1:5])))
+    assert name_row_grad_ft > 0.0
+    assert name_row_grad_const == 0.0
+    # losses stay finite through the in-step table
+    assert np.isfinite(float(loss_fn(params, batch_ft)))
+
+
 def test_st_eval(st_setup):
     model, params, images, image_sizes, batch, class_emb, lvis_emb = st_setup
     out = model.apply(

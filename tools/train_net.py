@@ -94,6 +94,7 @@ def train(cfg, logger):
     from cvpr22_cross_modal_pseudo_labeling_tpu.engine.trainer import (
         compute_class_name_embeddings,
         do_train,
+        tokenize_class_names,
     )
     from cvpr22_cross_modal_pseudo_labeling_tpu.models.detector import (
         RCNN_FAMILY,
@@ -295,11 +296,28 @@ def train(cfg, logger):
 
         save_labels(dataset.class_names, cfg.OUTPUT_DIR)
 
-    if meta_arch in ST_FAMILY and not resuming:
+    if meta_arch in ST_FAMILY:
         tokenizer = build_tokenizer(cfg)
-        extra_batch["lvis_class_embeddings"] = compute_class_name_embeddings(
-            model, params, lvis_names, tokenizer
-        )
+        if cfg.MODEL.LANGUAGE_BACKBONE.FT_EMB:
+            # trainable word embeddings: ship tokenized LVIS names and
+            # let the model rebuild the table in-step from live params,
+            # differentiably (reference prepare_model every forward,
+            # st_generalized_rcnn.py:190-191) — also what keeps a
+            # resumed run identical to an uninterrupted one
+            name_ids, name_mask = tokenize_class_names(
+                lvis_names, tokenizer
+            )
+            extra_batch["lvis_name_ids"] = name_ids
+            extra_batch["lvis_name_mask"] = name_mask
+            # drop the init-shape placeholder: the in-step table takes
+            # precedence, so don't ship a dead [C, emb] array each step
+            extra_batch.pop("lvis_class_embeddings", None)
+        elif not resuming:
+            extra_batch["lvis_class_embeddings"] = (
+                compute_class_name_embeddings(
+                    model, params, lvis_names, tokenizer
+                )
+            )
 
     tx, _ = make_optimizer(
         cfg, params["params"], frozen_prefixes_from_cfg(cfg, meta_arch)
@@ -330,10 +348,13 @@ def train(cfg, logger):
 
             if restore_loader_state(cfg.OUTPUT_DIR, loader):
                 logger.info("data stream resumed from loader_state.json")
-        if meta_arch in ST_FAMILY:
-            # LVIS class-name embeddings from the restored (frozen)
-            # BERT — identical to the fresh-run values computed from
-            # the init bundle, without reloading it
+        if meta_arch in ST_FAMILY and not cfg.MODEL.LANGUAGE_BACKBONE.FT_EMB:
+            # LVIS class-name embeddings from the restored BERT — the
+            # table is frozen when FT_EMB is off (engine/optimizer.py),
+            # so this equals the fresh-run values computed from the
+            # init bundle, without reloading it.  With FT_EMB on, the
+            # table is rebuilt in-step from tokenized names (above), so
+            # no constant is computed here.
             tokenizer = build_tokenizer(cfg)
             extra_batch["lvis_class_embeddings"] = (
                 compute_class_name_embeddings(
