@@ -379,11 +379,16 @@ POST_NMS_TRAIN_ST = POST_NMS - N_GT_ST  # 61: det pool == pseudo pool
 def _st_train_cfgs():
     rc = _ref_cfg()
     rc.MODEL.UNCERTAINTY = False
+    # the DEFAULT is 0.0, which scales every pseudo loss to zero and
+    # would make pseudo-loss parity trivially true; use the shipped
+    # configs' value (student_teacher_mask_rcnn_uncertainty.yaml:19)
+    rc.MODEL.LAMBDA_PSEUDO_LABEL = 0.1
     rc.MODEL.RPN.POST_NMS_TOP_N_TRAIN = POST_NMS_TRAIN_ST
     rc.MODEL.RPN.PRE_NMS_TOP_N_TRAIN = PRE_NMS
     rc.MODEL.ROI_HEADS.BATCH_SIZE_PER_IMAGE = POST_NMS
     oc = _our_cfg()
     oc.MODEL.UNCERTAINTY = False
+    oc.MODEL.LAMBDA_PSEUDO_LABEL = 0.1
     oc.MODEL.RPN.POST_NMS_TOP_N_TRAIN = POST_NMS_TRAIN_ST
     oc.MODEL.RPN.PRE_NMS_TOP_N_TRAIN = PRE_NMS
     oc.MODEL.ROI_HEADS.BATCH_SIZE_PER_IMAGE = POST_NMS
@@ -554,3 +559,143 @@ def test_st_training_loss_parity(tmp_path):
         assert abs(ours[k] - ref_losses[k]) <= tol * max(
             1.0, abs(ref_losses[k])
         ), f"{k}: ours {ours[k]:.6f} vs reference {ref_losses[k]:.6f}"
+
+
+def test_st_ft_emb_gradient_parity(tmp_path):
+    """FT_EMB end-to-end grad oracle.  With MODEL.LANGUAGE_BACKBONE.
+    FT_EMB the reference's word-embedding table is a trainable
+    nn.Parameter (transformers.py:24) and prepare_model recomputes the
+    LVIS class table from it every training forward, storing it
+    undetached (st_generalized_rcnn.py:190-191,
+    roi_box_predictors.py:84-92) — so the pseudo-branch classification
+    loss backprops into the table.  Our in-step rebuild
+    (lvis_name_ids in the batch) must produce (a) the same class table
+    and (b) the same d loss_classifier_pseudo / d word_embeddings."""
+    build = install_reference_full()
+    _patch_reference_bert()
+    from maskrcnn_benchmark.structures.bounding_box import BoxList
+    from maskrcnn_benchmark.structures.image_list import to_image_list
+
+    rc, oc = _st_train_cfgs()
+    rc.MODEL.LANGUAGE_BACKBONE.FT_EMB = True
+    ref_model = build(rc)
+    rng = np.random.RandomState(11)
+    orig = ref_model.state_dict()
+    ref_model.load_state_dict(
+        _tame_state_dict(_randomize_state_dict(orig, rng), orig)
+    )
+    ref_model.train()
+    assert ref_model.bert.embeddings.requires_grad
+
+    class_emb = (0.3 * rng.randn(NUM_CLASSES, EMB_DIM)).astype(np.float32)
+    ref_model.roi_heads.box.predictor.set_class_embeddings(
+        torch.from_numpy(class_emb)
+    )
+    ref_model.class_names = [f"c{i}" for i in range(NUM_CLASSES)]
+
+    img_cap = rng.randn(3, IMG_H, IMG_W).astype(np.float32)
+    t_cap = BoxList(torch.zeros((len(CAP_WORDS), 4)), (IMG_W, IMG_H))
+    t_cap.add_field("ids_cap", torch.tensor(CAP_IDS))
+    t_cap.add_field("nn_caption", "/".join(CAP_WORDS))
+    t_cap.add_field("is_det", "No")
+    t_cap.add_field("labels", torch.tensor(CAP_IDS))
+
+    cap_losses = ref_model(
+        to_image_list([torch.from_numpy(img_cap)], 32), [t_cap]
+    )
+    cap_losses["loss_classifier_pseudo"].backward()
+    g_ref = ref_model.bert.embeddings.grad.detach().numpy()
+    assert np.abs(g_ref).sum() > 0
+    ref_table = ref_model.cap_embs.detach().numpy()
+
+    pth = tmp_path / "ref_st_ftemb.pth"
+    torch.save(ref_model.state_dict(), str(pth))
+
+    # ---- ours ---------------------------------------------------------
+    from cvpr22_cross_modal_pseudo_labeling_tpu.engine.checkpoint import (
+        import_torch_state_dict,
+        load_torch_checkpoint,
+        populate_student_from_teacher,
+    )
+    from cvpr22_cross_modal_pseudo_labeling_tpu.models.detector.st_generalized_rcnn import (
+        STGeneralizedRCNN,
+        st_statics_from_cfg,
+    )
+
+    name_ids, name_mask = tokenize_words(list(ref_model.cap_vocab))
+    statics = st_statics_from_cfg(oc)._replace(
+        vocab_size=len(VOCAB), lvis_vocab=name_ids.shape[0]
+    )
+    model = STGeneralizedRCNN(statics)
+
+    ids, mask = tokenize_words(CAP_WORDS)
+    nw = len(CAP_WORDS)
+    batch = {
+        "cap_mask": jnp.array([True]),
+        "det_mask": jnp.array([False]),
+        "cap_tok_ids": jnp.asarray(ids)[None],
+        "cap_tok_mask": jnp.asarray(mask)[None],
+        "cap_word_valid": jnp.array([[True] * nw]),
+        "cap_labels": jnp.asarray(np.asarray(CAP_IDS, np.int32))[None],
+        "gt_boxes": jnp.zeros((1, N_GT_ST, 4)),
+        "gt_labels": jnp.zeros((1, N_GT_ST), jnp.int32),
+        "gt_valid": jnp.zeros((1, N_GT_ST), bool),
+        "gt_masks": jnp.zeros((1, N_GT_ST, 28, 28)),
+        "lvis_name_ids": jnp.asarray(name_ids),
+        "lvis_name_mask": jnp.asarray(name_mask),
+    }
+    images_j = jnp.asarray(img_cap.transpose(1, 2, 0))[None]
+    sizes = jnp.array([[IMG_H, IMG_W]], jnp.int32)
+    lvis_placeholder = jnp.zeros((name_ids.shape[0], EMB_DIM))
+
+    params = model.init(
+        {"params": jax.random.PRNGKey(0), "sampler": jax.random.PRNGKey(1)},
+        images_j,
+        sizes,
+        batch,
+        jnp.asarray(class_emb),
+        lvis_placeholder,
+        train=True,
+    )
+    sd = load_torch_checkpoint(str(pth))
+    new_params, _ = import_torch_state_dict(params["params"], sd)
+    new_params, _ = populate_student_from_teacher(new_params)
+
+    # (a) the in-step table matches the reference's recomputed cap_embs
+    our_table = model.apply(
+        {"params": new_params},
+        jnp.asarray(name_ids),
+        jnp.asarray(name_mask),
+        method=STGeneralizedRCNN.extract_word_embeddings,
+    )
+    np.testing.assert_allclose(
+        np.asarray(our_table), ref_table, atol=2e-5
+    )
+
+    # (b) gradient of the pseudo cls loss into the word-embedding table
+    def loss_fn(p):
+        out = model.apply(
+            {"params": p},
+            images_j,
+            sizes,
+            batch,
+            jnp.asarray(class_emb),
+            lvis_placeholder,
+            train=True,
+            rngs={"sampler": jax.random.PRNGKey(2)},
+        )
+        return out.losses["loss_classifier_pseudo"]
+
+    g_ours = np.asarray(
+        jax.grad(loss_fn)(new_params)["bert"]["word_embeddings"]
+    )
+    assert np.abs(g_ours).sum() > 0
+    cos = float(
+        (g_ref * g_ours).sum()
+        / max(np.linalg.norm(g_ref) * np.linalg.norm(g_ours), 1e-20)
+    )
+    rel = float(
+        np.linalg.norm(g_ours - g_ref) / max(np.linalg.norm(g_ref), 1e-20)
+    )
+    assert cos > 0.98, f"grad cosine {cos:.4f}"
+    assert rel < 0.15, f"grad relative L2 {rel:.4f}"
