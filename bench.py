@@ -189,12 +189,27 @@ def _sub_bench(args, timeout=3600):
         ln for ln in proc.stdout.strip().splitlines() if ln.startswith("{")
     ]
     if not lines:
-        # surface the subprocess's failure reason, not a bare IndexError
-        raise RuntimeError(
+        # surface the subprocess's failure reason, not a bare
+        # IndexError; keep the FULL stderr on the exception so callers
+        # can classify the failure (a grpc error tail can push the
+        # UNAVAILABLE marker out of any fixed-size excerpt)
+        err = RuntimeError(
             f"no JSON output (rc={proc.returncode}): "
             + (proc.stderr or "")[-400:]
         )
+        err.full_stderr = proc.stderr or ""
+        raise err
     return json.loads(lines[-1])
+
+
+def _zero_headline(note):
+    return {
+        "metric": "maskrcnn_r50c4_train_imgs_per_sec_per_chip",
+        "value": 0.0,
+        "unit": "imgs/sec/chip",
+        "vs_baseline": 0.0,
+        "headline_note": note,
+    }
 
 
 def main():
@@ -214,7 +229,10 @@ def main():
     # with a long backoff instead of failing the whole bench — and never
     # run the in-process fallback for this error class (a second client
     # just blocks on the same lease, unbounded).
-    attempts = int(os.environ.get("BENCH_UNAVAILABLE_RETRIES", "3"))
+    attempts = max(
+        int(os.environ.get("BENCH_UNAVAILABLE_RETRIES", "3")), 1
+    )
+    backend_dead = False
     for attempt in range(attempts):
         try:
             out = _sub_bench(
@@ -226,16 +244,12 @@ def main():
             # do NOT rerun the same (possibly hung) bench in-process
             # with no bound — emit a flagged line instead of stalling
             # the driver
-            out = {
-                "metric": "maskrcnn_r50c4_train_imgs_per_sec_per_chip",
-                "value": 0.0,
-                "unit": "imgs/sec/chip",
-                "vs_baseline": 0.0,
-                "headline_note": "headline subprocess timed out",
-            }
+            out = _zero_headline("headline subprocess timed out")
+            backend_dead = True
             break
         except Exception as e:
-            msg = str(e)
+            # classify on the FULL stderr, not the excerpt in str(e)
+            msg = getattr(e, "full_stderr", "") + str(e)
             backend_down = (
                 "UNAVAILABLE" in msg or "Unable to initialize" in msg
             )
@@ -248,16 +262,10 @@ def main():
                 continue
             sys.stderr.write(f"headline subprocess failed: {e}\n")
             if backend_down:
-                out = {
-                    "metric":
-                        "maskrcnn_r50c4_train_imgs_per_sec_per_chip",
-                    "value": 0.0,
-                    "unit": "imgs/sec/chip",
-                    "vs_baseline": 0.0,
-                    "headline_note":
-                        f"TPU backend unavailable after {attempts} "
-                        "attempts",
-                }
+                out = _zero_headline(
+                    f"TPU backend unavailable after {attempts} attempts"
+                )
+                backend_dead = True
             else:
                 # non-backend failure (e.g. restricted spawn) — run
                 # in-process, keeping the failure reason and still
@@ -273,7 +281,12 @@ def main():
     # in the driver-recorded line, not just BENCH_NOTES); skip with
     # BENCH_SKIP_EXTRA=1 (or on any failure) without losing the
     # headline metric
-    if os.environ.get("BENCH_SKIP_EXTRA") != "1":
+    if backend_dead:
+        # the backend is hung or down: the secondary benches would each
+        # block against it for up to their own timeout, stalling the
+        # driver for hours after the outage is already diagnosed
+        out["secondary_note"] = "skipped: backend unavailable"
+    elif os.environ.get("BENCH_SKIP_EXTRA") != "1":
         for args, prefix, keys in (
             (
                 [os.path.join(here, "tools", "bench_mmss.py"), "global_b64"],

@@ -198,9 +198,9 @@ def select_proposals_multi_level(
             # step — a visible signal that the grouping degraded (a
             # trailing partial batch is expected; anything else likely
             # means a misconfigured group count)
-            import logging
+            from ...utils.logger import get_logger
 
-            logging.getLogger("rpn").warning(
+            get_logger("rpn").warning(
                 "FPN_POST_NMS_PER_BATCH: batch %d not divisible by "
                 "%d groups; falling back to gcd grouping g=%d",
                 b, per_batch_groups, g,

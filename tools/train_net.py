@@ -297,8 +297,8 @@ def train(cfg, logger):
         save_labels(dataset.class_names, cfg.OUTPUT_DIR)
 
     if meta_arch in ST_FAMILY:
-        tokenizer = build_tokenizer(cfg)
         if cfg.MODEL.LANGUAGE_BACKBONE.FT_EMB:
+            tokenizer = build_tokenizer(cfg)
             # trainable word embeddings: ship tokenized LVIS names and
             # let the model rebuild the table in-step from live params,
             # differentiably (reference prepare_model every forward,
@@ -315,7 +315,7 @@ def train(cfg, logger):
         elif not resuming:
             extra_batch["lvis_class_embeddings"] = (
                 compute_class_name_embeddings(
-                    model, params, lvis_names, tokenizer
+                    model, params, lvis_names, build_tokenizer(cfg)
                 )
             )
 
