@@ -268,12 +268,19 @@ def main():
                 backend_dead = True
             else:
                 # non-backend failure (e.g. restricted spawn) — run
-                # in-process, keeping the failure reason and still
-                # attempting the secondary benches below
+                # in-process, keeping the failure reason.  The parent
+                # now owns the chip for its remaining lifetime, so the
+                # secondary subprocesses could not attach — skip them
+                # (same single-process constraint _sub_bench documents).
                 out = headline(batch_size, emit=False)
                 out["headline_note"] = (
                     f"subprocess failed ({type(e).__name__}); "
                     "ran in-process"
+                )
+                backend_dead = True
+                out["secondary_note"] = (
+                    "skipped: parent holds the chip after in-process "
+                    "fallback"
                 )
             break
 
@@ -282,10 +289,11 @@ def main():
     # BENCH_SKIP_EXTRA=1 (or on any failure) without losing the
     # headline metric
     if backend_dead:
-        # the backend is hung or down: the secondary benches would each
-        # block against it for up to their own timeout, stalling the
-        # driver for hours after the outage is already diagnosed
-        out["secondary_note"] = "skipped: backend unavailable"
+        # the backend is hung, down, or held by this process: the
+        # secondary benches would each block against it for up to their
+        # own timeout, stalling the driver for hours after the problem
+        # is already diagnosed
+        out.setdefault("secondary_note", "skipped: backend unavailable")
     elif os.environ.get("BENCH_SKIP_EXTRA") != "1":
         for args, prefix, keys in (
             (

@@ -58,7 +58,12 @@ def _apply_update(state: TrainState, grads, tx) -> TrainState:
     )
 
 
-def build_loss_fn(model, meta_arch: str, grad_accum: int = 1) -> Callable:
+def build_loss_fn(
+    model,
+    meta_arch: str,
+    grad_accum: int = 1,
+    lvis_table_sharding=None,
+) -> Callable:
     """loss_fn(params, batch, rng) -> (total, (losses, info)) — the loss
     assembly shared by the train step and the validation-loss pass.
 
@@ -98,13 +103,37 @@ def build_loss_fn(model, meta_arch: str, grad_accum: int = 1) -> Callable:
             )
             losses, info = out.losses, out.info
         elif meta_arch in ST_FAMILY:
+            lvis_table = batch.get("lvis_class_embeddings")
+            if "lvis_name_ids" in batch:
+                # FT_EMB: rebuild the LVIS class table from the live
+                # word embeddings HERE (differentiable — see the
+                # in-model equivalent at st_generalized_rcnn.__call__)
+                # so it can be sharded vocabulary-parallel over the
+                # 'model' mesh axis like the precomputed table is by
+                # batch_shardings; the token keys are then stripped so
+                # the model consumes the constrained table.
+                lvis_table = model.apply(
+                    params,
+                    batch["lvis_name_ids"],
+                    batch["lvis_name_mask"],
+                    method=type(model).extract_word_embeddings,
+                )
+                if lvis_table_sharding is not None:
+                    lvis_table = jax.lax.with_sharding_constraint(
+                        lvis_table, lvis_table_sharding
+                    )
+                batch = {
+                    k: v
+                    for k, v in batch.items()
+                    if k not in ("lvis_name_ids", "lvis_name_mask")
+                }
             out = model.apply(
                 params,
                 batch["images"],
                 batch["image_sizes"],
                 batch,
                 batch.get("class_embeddings"),
-                batch.get("lvis_class_embeddings"),
+                lvis_table,
                 train=True,
                 exemplars=extra,
                 rngs=rngs,
@@ -143,9 +172,13 @@ def build_train_step(
     tx,
     meta_arch: str,
     grad_accum: int = 1,
+    lvis_table_sharding=None,
 ) -> Callable:
     """Returns step(state, batch) -> (state, metrics)."""
-    loss_fn = build_loss_fn(model, meta_arch, grad_accum)
+    loss_fn = build_loss_fn(
+        model, meta_arch, grad_accum,
+        lvis_table_sharding=lvis_table_sharding,
+    )
 
     def step(state: TrainState, batch):
         rng = jax.random.fold_in(state.rng, state.step)
@@ -189,6 +222,17 @@ _REPLICATED_BATCH_KEYS = ("class_embeddings", "lvis_class_embeddings")
 _ALWAYS_REPLICATED_KEYS = (
     "class_lvis_ids", "lvis_name_ids", "lvis_name_mask",
 )
+
+
+def lvis_table_sharding(mesh):
+    """The vocab-parallel sharding a [C, emb] class table gets from
+    batch_shardings, for constraining the FT_EMB in-step rebuild — or
+    None on a mesh without a >1 'model' axis (no constraint needed)."""
+    import jax.sharding as shd
+
+    if "model" in mesh.axis_names and mesh.shape["model"] > 1:
+        return shd.NamedSharding(mesh, shd.PartitionSpec("model", None))
+    return None
 
 
 def batch_shardings(example_batch, mesh):

@@ -271,3 +271,84 @@ def test_batch_shardings_ft_emb_keys_replicated():
         "model", None
     )
     assert sh["images"].spec[0] is not None
+
+
+def test_ft_emb_vocab_parallel_matches_unsharded():
+    """FT_EMB on a data x model mesh: the train step rebuilds the LVIS
+    table in loss_fn and constrains it PartitionSpec('model', None)
+    (vocab-parallel, like batch_shardings gives the precomputed table);
+    the result must equal the unsharded in-model rebuild."""
+    import optax
+
+    from cvpr22_cross_modal_pseudo_labeling_tpu.engine.train_step import (
+        build_train_step,
+        create_train_state,
+        jit_train_step,
+        lvis_table_sharding,
+    )
+    from cvpr22_cross_modal_pseudo_labeling_tpu.models.detector.st_generalized_rcnn import (
+        STGeneralizedRCNN,
+        st_statics_from_cfg,
+    )
+    from test_st_model import st_tiny_cfg
+
+    cfg = st_tiny_cfg()
+    statics = st_statics_from_cfg(cfg)._replace(vocab_size=64, lvis_vocab=20)
+    model = STGeneralizedRCNN(statics)
+    b, nw, t = 4, 3, 4
+    rng = np.random.RandomState(3)
+    images = jnp.asarray(rng.rand(b, 64, 64, 3), jnp.float32)
+    image_sizes = jnp.tile(jnp.array([[64, 64]], jnp.int32), (b, 1))
+    batch = {
+        "images": images,
+        "image_sizes": image_sizes,
+        "cap_mask": jnp.array([True, False, True, False]),
+        "det_mask": jnp.ones((b,), bool),
+        "cap_tok_ids": jnp.asarray(rng.randint(5, 64, (b, nw, t)), jnp.int32),
+        "cap_tok_mask": jnp.ones((b, nw, t), jnp.int32),
+        "cap_word_valid": jnp.tile(jnp.array([[True, True, False]]), (b, 1)),
+        "cap_labels": jnp.asarray(rng.randint(0, 20, (b, nw)), jnp.int32),
+        "gt_boxes": jnp.tile(jnp.array([[4.0, 4.0, 30.0, 30.0]]), (b, 4, 1)),
+        "gt_labels": jnp.ones((b, 4), jnp.int32),
+        "gt_valid": jnp.tile(jnp.array([[True, True, False, False]]), (b, 1)),
+        "gt_masks": jnp.ones((b, 4, 28, 28)),
+        "class_embeddings": jnp.asarray(rng.randn(8, 16), jnp.float32),
+        "lvis_name_ids": jnp.asarray(rng.randint(1, 64, (20, 4)), jnp.int32),
+        "lvis_name_mask": jnp.ones((20, 4), jnp.int32),
+    }
+    params = model.init(
+        {"params": jax.random.PRNGKey(0), "sampler": jax.random.PRNGKey(1)},
+        images,
+        image_sizes,
+        {k: v for k, v in batch.items() if k not in ("images", "image_sizes")},
+        batch["class_embeddings"],
+        jnp.zeros((20, 16)),
+        train=True,
+    )
+    tx = optax.sgd(0.001)
+
+    # unsharded baseline FIRST: jit_train_step donates its state, which
+    # deletes the param buffers both TrainStates share
+    step_plain = jax.jit(build_train_step(model, tx, "STGeneralizedRCNN"))
+    state2 = create_train_state(params, tx, jax.random.PRNGKey(7))
+    _, m_plain = step_plain(state2, batch)
+
+    mesh = make_mesh(("data", "model"), (4, 2))
+    assert lvis_table_sharding(mesh) is not None
+    step_sharded = jit_train_step(
+        build_train_step(
+            model, tx, "STGeneralizedRCNN",
+            lvis_table_sharding=lvis_table_sharding(mesh),
+        ),
+        mesh,
+        batch,
+    )
+    state = create_train_state(params, tx, jax.random.PRNGKey(7))
+    _, m_sharded = step_sharded(state, batch)
+
+    assert np.isfinite(float(m_sharded["total_loss"]))
+    np.testing.assert_allclose(
+        float(m_sharded["total_loss"]),
+        float(m_plain["total_loss"]),
+        rtol=2e-5, atol=1e-5,
+    )

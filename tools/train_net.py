@@ -363,10 +363,15 @@ def train(cfg, logger):
             )
 
     mesh = make_mesh(cfg.TPU.MESH_AXES, cfg.TPU.MESH_SHAPE)
+    from cvpr22_cross_modal_pseudo_labeling_tpu.engine.train_step import (
+        lvis_table_sharding,
+    )
+
     step_fn = jit_train_step(
         build_train_step(
             model, tx, meta_arch,
             grad_accum=cfg.SOLVER.GRADIENT_ACCUMULATION_STEPS,
+            lvis_table_sharding=lvis_table_sharding(mesh),
         ),
         mesh,
         {**example_batch, **extra_batch},
