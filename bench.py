@@ -229,6 +229,33 @@ def main():
     # with a long backoff instead of failing the whole bench — and never
     # run the in-process fallback for this error class (a second client
     # just blocks on the same lease, unbounded).
+    # fast pre-check on axon-tunnel hosts: if the loopback relay isn't
+    # listening at all, no client can attach — each attempt would block
+    # ~28 min inside the runtime's internal retry before failing
+    # UNAVAILABLE (BENCH_NOTES "round3_tunnel_outage").  Seconds, not
+    # an hour-and-a-half of retries, to diagnose a dead relay.
+    if os.environ.get("PALLAS_AXON_POOL_IPS"):
+        import socket
+
+        relay_up = False
+        for port in (8081, 8082, 8083):
+            s = socket.socket()
+            s.settimeout(3)
+            try:
+                s.connect(("127.0.0.1", port))
+                relay_up = True
+            except Exception:
+                pass
+            finally:
+                s.close()
+        if not relay_up:
+            out = _zero_headline(
+                "axon relay down (ports 8081-8083 refused)"
+            )
+            out["secondary_note"] = "skipped: backend unavailable"
+            print(json.dumps(out))
+            return
+
     attempts = max(
         int(os.environ.get("BENCH_UNAVAILABLE_RETRIES", "3")), 1
     )
