@@ -202,6 +202,32 @@ def _sub_bench(args, timeout=3600):
     return json.loads(lines[-1])
 
 
+def _relay_up():
+    """True when the axon loopback relay accepts connections (or this
+    is not an axon-tunnel host, where no relay exists).  Shares the
+    port list and probe with tools/tpu_health.py so the two cannot
+    drift."""
+    if not os.environ.get("PALLAS_AXON_POOL_IPS"):
+        return True
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from tools.tpu_health import probe_ports
+
+    return any(v == "open" for v in probe_ports().values())
+
+
+def _retries_from_env():
+    """BENCH_UNAVAILABLE_RETRIES as a positive int; a malformed value
+    falls back to 3 instead of crashing before any JSON is emitted."""
+    try:
+        attempts = int(os.environ.get("BENCH_UNAVAILABLE_RETRIES", "3"))
+    except ValueError:
+        sys.stderr.write(
+            "ignoring malformed BENCH_UNAVAILABLE_RETRIES; using 3\n"
+        )
+        attempts = 3
+    return max(attempts, 1)
+
+
 def _zero_headline(note):
     return {
         "metric": "maskrcnn_r50c4_train_imgs_per_sec_per_chip",
@@ -234,31 +260,15 @@ def main():
     # ~28 min inside the runtime's internal retry before failing
     # UNAVAILABLE (BENCH_NOTES "round3_tunnel_outage").  Seconds, not
     # an hour-and-a-half of retries, to diagnose a dead relay.
-    if os.environ.get("PALLAS_AXON_POOL_IPS"):
-        import socket
+    if not _relay_up():
+        out = _zero_headline(
+            "axon relay down (ports 8081-8083 refused)"
+        )
+        out["secondary_note"] = "skipped: backend unavailable"
+        print(json.dumps(out))
+        return
 
-        relay_up = False
-        for port in (8081, 8082, 8083):
-            s = socket.socket()
-            s.settimeout(3)
-            try:
-                s.connect(("127.0.0.1", port))
-                relay_up = True
-            except Exception:
-                pass
-            finally:
-                s.close()
-        if not relay_up:
-            out = _zero_headline(
-                "axon relay down (ports 8081-8083 refused)"
-            )
-            out["secondary_note"] = "skipped: backend unavailable"
-            print(json.dumps(out))
-            return
-
-    attempts = max(
-        int(os.environ.get("BENCH_UNAVAILABLE_RETRIES", "3")), 1
-    )
+    attempts = _retries_from_env()
     backend_dead = False
     for attempt in range(attempts):
         try:
@@ -334,6 +344,17 @@ def main():
                 ("value", "pseudo_masks_per_sec", "mfu_pct", "step_ms"),
             ),
         ):
+            if backend_dead:
+                # a prior secondary hit the stale-lease error class —
+                # further attachments just block on the same lease
+                out[f"{prefix}_note"] = "skipped: backend unavailable"
+                continue
+            # the relay can die between benches; a secondary attempt
+            # against a dead relay blocks ~28 min inside the runtime
+            # before failing, serially per secondary — re-check first
+            if not _relay_up():
+                out[f"{prefix}_note"] = "skipped: relay went down"
+                continue
             try:
                 data = _sub_bench(args)
                 for k in keys:
@@ -341,6 +362,11 @@ def main():
                         out[f"{prefix}_{k}"] = data[k]
             except Exception as e:
                 out[f"{prefix}_note"] = f"{type(e).__name__}: {str(e)[:200]}"
+                msg = getattr(e, "full_stderr", "") + str(e)
+                if "UNAVAILABLE" in msg or "Unable to initialize" in msg:
+                    # same stale-lease error class as the headline
+                    # handler: further attachments just block on it
+                    backend_dead = True
 
     print(json.dumps(out))
 

@@ -138,7 +138,25 @@ def load_checkpoint(path: str, target_state=None):
     ckptr = ocp.StandardCheckpointer()
     if target_state is None:
         return ckptr.restore(path)
-    return ckptr.restore(path, target=jax.device_get(target_state))
+    try:
+        return ckptr.restore(path, target=jax.device_get(target_state))
+    except ValueError as e:
+        if "do not match" not in str(e):
+            raise
+        # orbax's mismatch error dumps both full pytrees (thousands of
+        # lines of MaskedNode spam); surface the actionable part: the
+        # on-disk state was written by a different model/optimizer
+        # layout (config change or older code), so it cannot resume
+        # this run
+        first = str(e).splitlines()[:2]
+        raise RuntimeError(
+            f"checkpoint {path} does not match the current "
+            "model/optimizer structure (it was saved by a different "
+            "config or code version). Start from a fresh OUTPUT_DIR, "
+            "or load weights only via MODEL.WEIGHT / "
+            "MODEL.LOAD_TRAINER_STATE=False. First mismatch: "
+            + " ".join(ln.strip() for ln in first)[:300]
+        ) from None
 
 
 # ---------------------------------------------------------------------------

@@ -132,6 +132,30 @@ def test_orbax_roundtrip(tmp_path):
     assert int(restored["iteration"]) == 7
 
 
+def test_structure_mismatch_raises_concise_error(tmp_path):
+    """Resuming an OUTPUT_DIR written by a different model/optimizer
+    layout (config change or older code) must fail with an actionable
+    one-liner, not orbax's full-pytree MaskedNode dump."""
+    state = {
+        "state": {"w": np.zeros((2, 3), np.float32)},
+        "iteration": 2,
+    }
+    path = save_checkpoint(str(tmp_path), state, 2)
+    target = {
+        "state": {
+            "w": np.zeros((2, 3), np.float32),
+            # a param group the on-disk checkpoint predates
+            "uncertain_bias": np.zeros((1,), np.float32),
+        },
+        "iteration": 0,
+    }
+    with pytest.raises(RuntimeError) as exc_info:
+        load_checkpoint(path, target)
+    msg = str(exc_info.value)
+    assert "does not match" in msg and "OUTPUT_DIR" in msg
+    assert len(msg) < 1000  # concise, not the pytree dump
+
+
 def st_like_params():
     """Param tree shaped like STGeneralizedRCNN: shared backbone/rpn +
     teacher/student RoIHeadsBundle subtrees (student has an extra

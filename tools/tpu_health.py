@@ -70,9 +70,13 @@ def attach_probe(timeout):
     if proc.returncode != 0:
         sys.stderr.write((proc.stderr or "")[-400:] + "\n")
         return "failed", []
-    line = proc.stdout.strip().splitlines()
+    # the runtime may append log noise to stdout after the probe's JSON
+    # list — parse the last line that looks like one, not the last line
+    lines = [
+        ln for ln in proc.stdout.strip().splitlines() if ln.startswith("[")
+    ]
     try:
-        return "ok", json.loads(line[-1])  # e.g. ["TPU v5 lite"]
+        return "ok", json.loads(lines[-1])  # e.g. ["TPU v5 lite"]
     except Exception:
         return "failed", []
 
@@ -87,20 +91,34 @@ def main():
     relay_up = any(v == "open" for v in ports.values())
     result = {"relay_ports": ports}
 
+    on_axon = bool(os.environ.get("PALLAS_AXON_POOL_IPS"))
     if args.ports_only:
         result["attach"] = "skipped"
-        result["healthy"] = relay_up
-    elif not relay_up and os.environ.get("PALLAS_AXON_POOL_IPS"):
+        result["devices"] = []
+        # the relay only exists on axon-tunnel hosts; elsewhere refused
+        # ports say nothing about the TPU
+        result["healthy"] = relay_up or not on_axon
+        if not on_axon:
+            result["attach_note"] = "not an axon host; no relay expected"
+    elif not relay_up and on_axon:
         # relay down: an attach attempt would block ~28 min inside the
         # runtime before failing — do not bother
         result["attach"] = "skipped"
         result["attach_note"] = "relay ports all refused"
+        result["devices"] = []
         result["healthy"] = False
     else:
         status, devices = attach_probe(args.timeout)
         result["attach"] = status
         result["devices"] = devices
-        result["healthy"] = status == "ok" and bool(devices)
+        # jax.devices() silently falls back to the CPU backend when the
+        # TPU plugin fails init — an attach only counts if the devices
+        # really are TPUs
+        result["healthy"] = (
+            status == "ok"
+            and bool(devices)
+            and all("tpu" in str(d).lower() for d in devices)
+        )
 
     print(json.dumps(result))
     return 0 if result["healthy"] else 1
