@@ -142,7 +142,9 @@ class GrainLoader:
         self._iter_ds = batched.to_iter_dataset(
             grain.ReadOptions(
                 num_threads=num_threads,
-                prefetch_buffer_size=prefetch_batches,
+                # grain caps usable threads at the buffer size; a
+                # buffer below num_threads silently serializes reads
+                prefetch_buffer_size=max(prefetch_batches, num_threads),
             )
         )
         self._it = None
