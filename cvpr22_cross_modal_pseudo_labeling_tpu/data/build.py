@@ -112,6 +112,13 @@ def build_dataset(cfg, dataset_names, transforms, is_train: bool):
     return [datasets[0] if len(datasets) == 1 else ConcatDataset(datasets)]
 
 
+class _ProducerError:
+    """Carrier for an exception raised inside the producer thread."""
+
+    def __init__(self, exc: BaseException):
+        self.exc = exc
+
+
 class PrefetchingLoader:
     def __init__(self, dataset, batch_sampler, collator, num_workers=4):
         self.dataset = dataset
@@ -160,6 +167,18 @@ class PrefetchingLoader:
         out_q: "queue.Queue" = queue.Queue(maxsize=4)
         stop = threading.Event()
 
+        def _put(item) -> bool:
+            """Bounded put that gives up once the consumer is gone, so
+            an abandoned iterator (e.g. islice'd val-loss passes) never
+            leaves the producer parked forever in Queue.put."""
+            while not stop.is_set():
+                try:
+                    out_q.put(item, timeout=0.1)
+                    return True
+                except queue.Full:
+                    continue
+            return False
+
         def producer():
             try:
                 from concurrent.futures import ThreadPoolExecutor
@@ -171,11 +190,18 @@ class PrefetchingLoader:
                         samples = list(
                             pool.map(self._fetch, batch_idx)
                         )
-                        out_q.put(
+                        if not _put(
                             (self.collator(samples), list(batch_idx))
-                        )
+                        ):
+                            return
+            except BaseException as e:
+                # surface sampler/collator/double-fetch failures to the
+                # consumer instead of masquerading as end-of-stream
+                # (the bare `finally: put(None)` made any producer
+                # exception look like a clean, early exhaustion)
+                _put(_ProducerError(e))
             finally:
-                out_q.put(None)
+                _put(None)
 
         t = threading.Thread(target=producer, daemon=True)
         t.start()
@@ -184,6 +210,10 @@ class PrefetchingLoader:
                 item = out_q.get()
                 if item is None:
                     return
+                if isinstance(item, _ProducerError):
+                    raise RuntimeError(
+                        "data loader producer thread failed"
+                    ) from item.exc
                 yield item
         finally:
             stop.set()

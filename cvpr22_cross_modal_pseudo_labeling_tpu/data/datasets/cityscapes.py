@@ -11,7 +11,6 @@ the reference's abs_to_coco.py conversion wrapper.
 import glob
 import json
 import os
-import random
 from typing import Dict, List, Optional
 
 import numpy as np
@@ -19,6 +18,8 @@ from PIL import Image
 
 from ...core.boxes import TO_REMOVE
 from .coco import rasterize_instance_mask
+
+from ..rng import visit_rng
 
 CITYSCAPES_THING_CLASSES = (
     "__background__", "person", "rider", "car", "truck", "bus",
@@ -129,7 +130,7 @@ class CityScapesDataset:
             "ids_cap": [],
         }
         if self._transforms is not None:
-            rng = random.Random(hash((index, os.getpid())) & 0xFFFFFFFF)
+            rng = visit_rng(index)
             sample = self._transforms(sample, rng)
         return sample
 

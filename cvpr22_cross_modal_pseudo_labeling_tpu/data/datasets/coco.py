@@ -11,7 +11,6 @@ filtered (coco.py:107-109); xywh -> xyxy with the legacy +1.
 """
 
 import os
-import random
 from typing import Dict, List, Optional
 
 import numpy as np
@@ -21,6 +20,8 @@ from ...core.boxes import TO_REMOVE
 from ...utils.rle import coco_segmentation_to_mask, polygons_to_mask
 from ..coco_index import CocoIndex
 from ..parser import normalize_class_names
+
+from ..rng import visit_rng
 
 
 def rasterize_instance_mask(
@@ -240,6 +241,6 @@ class COCODataset:
     def __getitem__(self, index: int) -> Dict:
         sample = self.raw_sample(index)
         if self._transforms is not None:
-            rng = random.Random(hash((index, os.getpid())) & 0xFFFFFFFF)
+            rng = visit_rng(index)
             sample = self._transforms(sample, rng)
         return sample

@@ -8,7 +8,6 @@ noun tokens.  Parsing is precomputed at construction.
 """
 
 import os
-import random
 from typing import Dict, List, Optional
 
 import numpy as np
@@ -16,6 +15,8 @@ from PIL import Image
 
 from ..coco_index import CocoIndex
 from ..parser import get_parser
+
+from ..rng import visit_rng
 
 
 class COCOCaptionsDataset:
@@ -69,6 +70,6 @@ class COCOCaptionsDataset:
             "is_det": "No",
         }
         if self._transforms is not None:
-            rng = random.Random(hash((index, os.getpid())) & 0xFFFFFFFF)
+            rng = visit_rng(index)
             sample = self._transforms(sample, rng)
         return sample

@@ -17,13 +17,14 @@ caption JSON/JSONL with one caption per id.
 
 import json
 import os
-import random
 from typing import Dict, List, Optional
 
 import numpy as np
 from PIL import Image
 
 from ..parser import get_parser
+
+from ..rng import visit_rng
 
 
 class ConCapDetDataset:
@@ -81,7 +82,7 @@ class ConCapDetDataset:
             "is_det": "No",
         }
         if self._transforms is not None:
-            rng = random.Random(hash((index, os.getpid())) & 0xFFFFFFFF)
+            rng = visit_rng(index)
             sample = self._transforms(sample, rng)
         return sample
 

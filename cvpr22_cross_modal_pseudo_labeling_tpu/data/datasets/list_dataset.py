@@ -10,12 +10,13 @@ and conceptual_captions.py parity).
 
 import json
 import os
-import random
 from typing import Dict, List, Optional
 
 import numpy as np
 
 from ...utils.native_image import load_image_rgb
+
+from ..rng import visit_rng
 
 
 class ListDataset:
@@ -57,7 +58,7 @@ class ListDataset:
             "ids_cap": [],
         }
         if self._transforms is not None:
-            rng = random.Random(hash((index, os.getpid())) & 0xFFFFFFFF)
+            rng = visit_rng(index)
             sample = self._transforms(sample, rng)
         return sample
 
@@ -106,6 +107,6 @@ class ConceptualCaptionsDataset:
             "is_det": "No",
         }
         if self._transforms is not None:
-            rng = random.Random(hash((index, os.getpid())) & 0xFFFFFFFF)
+            rng = visit_rng(index)
             sample = self._transforms(sample, rng)
         return sample

@@ -5,12 +5,13 @@ COCODataset.  Evaluated through evaluation/voc_eval.py.
 """
 
 import os
-import random
 import xml.etree.ElementTree as ET
 from typing import Dict, List, Optional
 
 import numpy as np
 from PIL import Image
+
+from ..rng import visit_rng
 
 VOC_CLASSES = (
     "__background__", "aeroplane", "bicycle", "bird", "boat", "bottle",
@@ -174,6 +175,6 @@ class PascalVOCDataset:
             "ids_cap": [],
         }
         if self._transforms is not None:
-            rng = random.Random(hash((index, os.getpid())) & 0xFFFFFFFF)
+            rng = visit_rng(index)
             sample = self._transforms(sample, rng)
         return sample

@@ -148,6 +148,11 @@ class GrainLoader:
             )
         )
         self._it = None
+        # Only the bounded training stream is checkpointable (its
+        # get_state/set_state must survive across __iter__ calls); an
+        # eval loader is re-iterated every TEST_PERIOD, so it gets a
+        # fresh iterator per pass instead of one single-use iterator.
+        self._persistent = num_iters is not None
 
     def __len__(self) -> int:
         return self._len
@@ -169,7 +174,7 @@ class GrainLoader:
         return self._it
 
     def __iter__(self) -> Iterator:
-        it = self.iterator()
+        it = self.iterator() if self._persistent else iter(self._iter_ds)
         for item in it:
             yield item
 

@@ -126,18 +126,21 @@ class IterationBasedBatchSampler:
 
     def __iter__(self):
         iteration = self.start_iter
-        epoch = 0
         while iteration < self.num_iterations:
+            # epoch seed = the RUNNING iteration at each epoch start
+            # (iteration_based_batch_sampler.py:22-23 passes the
+            # iteration, not an epoch ordinal, to set_epoch): a resumed
+            # run reshuffles from where it crashed instead of replaying
+            # the epoch-0/1/2 orders it already consumed
             if hasattr(self.batch_sampler, "sampler") and hasattr(
                 self.batch_sampler.sampler, "set_epoch"
             ):
-                self.batch_sampler.sampler.set_epoch(epoch)
+                self.batch_sampler.sampler.set_epoch(iteration)
             for batch in self.batch_sampler:
                 if iteration >= self.num_iterations:
                     return
                 yield batch
                 iteration += 1
-            epoch += 1
 
     def __len__(self):
         return self.num_iterations - self.start_iter

@@ -47,6 +47,24 @@ def get_resize_hw(
 PERSON_KP_FLIP_INDS = [0, 2, 1, 4, 3, 6, 5, 8, 7, 10, 9, 12, 11, 14, 13, 16, 15]
 
 
+def resize_image(img: np.ndarray, nh: int, nw: int) -> np.ndarray:
+    """Bilinear resize preserving the dtype convention (uint8 stays
+    uint8, float 0..1 stays float 0..1); native resize with PIL
+    fallback.  uint8 is the fast path: images stay uint8 from decode to
+    Normalize, avoiding two full-image float round-trips.  Shared by
+    Resize and the TTA variant runner (engine/inference.py)."""
+    was_u8 = img.dtype == np.uint8
+    src_u8 = img if was_u8 else (img * 255).astype(np.uint8)
+    from ..utils.native_image import resize_bilinear_native
+
+    resized = resize_bilinear_native(src_u8, (nh, nw))
+    if resized is None:  # PIL fallback
+        resized = np.asarray(
+            Image.fromarray(src_u8).resize((nw, nh), Image.BILINEAR)
+        )
+    return resized if was_u8 else resized.astype(np.float32) / 255.0
+
+
 class Resize:
     def __init__(self, min_sizes: Sequence[int], max_size: int):
         self.min_sizes = tuple(min_sizes)
@@ -58,22 +76,7 @@ class Resize:
         h, w = img.shape[:2]
         nh, nw = get_resize_hw((h, w), min_size, self.max_size)
         if (nh, nw) != (h, w):
-            # uint8 is the fast path: images stay uint8 from decode to
-            # Normalize, avoiding two full-image float round-trips
-            was_u8 = img.dtype == np.uint8
-            src_u8 = img if was_u8 else (img * 255).astype(np.uint8)
-            from ..utils.native_image import resize_bilinear_native
-
-            resized = resize_bilinear_native(src_u8, (nh, nw))
-            if resized is None:  # PIL fallback
-                resized = np.asarray(
-                    Image.fromarray(src_u8).resize(
-                        (nw, nh), Image.BILINEAR
-                    )
-                )
-            sample["image"] = (
-                resized if was_u8 else resized.astype(np.float32) / 255.0
-            )
+            sample["image"] = resize_image(img, nh, nw)
             sx, sy = nw / w, nh / h
             if len(sample.get("boxes", [])):
                 sample["boxes"] = sample["boxes"] * np.array(

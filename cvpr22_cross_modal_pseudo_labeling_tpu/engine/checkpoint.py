@@ -34,14 +34,24 @@ import numpy as np
 # ---------------------------------------------------------------------------
 
 _async_ckptr = None
-_pending = None  # (directory, path, keep) of an in-flight async save
+_pending = None  # (directory, path, keep, extras) of an in-flight save
 
 
-def _finalize(directory: str, path: str, keep: int):
-    """Publishes a completed checkpoint: last_checkpoint tag + prune.
-    Primary-host only (every process calls save — orbax coordinates a
-    single writer via a cross-process barrier — but the tag file and
-    prune must happen once)."""
+def _finalize(directory: str, path: str, keep: int, extras=None):
+    """Publishes a completed checkpoint: last_checkpoint tag + prune,
+    plus any staged sidecar files (``extras``: path -> content, e.g.
+    the grain loader-state snapshot taken at the SAME iteration as the
+    save).  Sidecars publish here, atomically with the tag, never at
+    save-start: a loader state written eagerly would run one checkpoint
+    period ahead of the tag, and a crash in that window would resume
+    the stream past batches the restored params never trained on.
+    Sidecars are per-process files (each host's stream position);
+    the tag/prune is primary-host only (every process calls save —
+    orbax coordinates a single writer via a cross-process barrier —
+    but the tag file and prune must happen once)."""
+    for p, content in (extras or {}).items():
+        with open(p, "w") as f:
+            f.write(content)
     if jax.process_index() != 0:
         return
     with open(os.path.join(directory, "last_checkpoint"), "w") as f:
@@ -82,7 +92,7 @@ def discard_pending_checkpoint():
     if _pending is None:
         return
     _async_ckptr.wait_until_finished()
-    directory, path, _ = _pending
+    directory, path = _pending[0], _pending[1]
     _pending = None
     if jax.process_index() == 0 and os.path.isdir(path):
         import shutil
@@ -91,14 +101,16 @@ def discard_pending_checkpoint():
 
 
 def save_checkpoint(
-    directory: str, state, step: int, keep: int = 5, block: bool = True
+    directory: str, state, step: int, keep: int = 5, block: bool = True,
+    extras=None,
 ):
     """``block=False`` pipelines the orbax write with training: the save
     starts in the background and is published (last_checkpoint tag +
-    prune) by the NEXT save or an explicit flush_pending_checkpoint(),
-    so the tag never points at an unfinished checkpoint.  The reference
-    blocks on torch.save at every CHECKPOINT_PERIOD (checkpoint.py:
-    34-52); multi-GB states make that a visible training stall."""
+    prune + ``extras`` sidecar files) by the NEXT save or an explicit
+    flush_pending_checkpoint(), so the tag never points at an unfinished
+    checkpoint and sidecars never outrun it.  The reference blocks on
+    torch.save at every CHECKPOINT_PERIOD (checkpoint.py:34-52);
+    multi-GB states make that a visible training stall."""
     global _async_ckptr, _pending
     import orbax.checkpoint as ocp
 
@@ -111,9 +123,9 @@ def save_checkpoint(
     _async_ckptr.save(path, jax.device_get(state), force=True)
     if block:
         _async_ckptr.wait_until_finished()
-        _finalize(directory, path, keep)
+        _finalize(directory, path, keep, extras)
     else:
-        _pending = (directory, path, keep)
+        _pending = (directory, path, keep, extras)
     return path
 
 

@@ -60,6 +60,21 @@ def compute_on_dataset(
 
     fallback = jax.jit(_forward)
     if mesh is not None:
+        # eval feeds host-local arrays: a mesh spanning other
+        # processes cannot be used here (the multi-HOST split is the
+        # per-process dataset shard + gather); callers normally pass a
+        # process-local mesh, but guard against a global one.
+        procs = {d.process_index for d in mesh.devices.flat}
+        if procs != {jax.process_index()}:
+            logger.warning(
+                "eval mesh spans processes %s; falling back to the "
+                "single-device program (pass a process-local mesh)",
+                sorted(procs),
+            )
+            mesh = None
+        elif "data" not in mesh.shape:
+            mesh = None
+    if mesh is not None:
         from ..parallel.mesh import data_sharded, replicated
 
         sharded = jax.jit(
@@ -68,7 +83,10 @@ def compute_on_dataset(
                 replicated(mesh), data_sharded(mesh), data_sharded(mesh)
             ),
         )
-        n_data = int(np.prod(mesh.devices.shape))
+        # the batch is split over the 'data' axis only (params and any
+        # 'model' axis are replicated), so divisibility is gated on the
+        # data-axis size, not the total device count
+        n_data = int(mesh.shape["data"])
 
         def forward(p, images, image_sizes):
             # ragged final batch falls back to the unsharded program
@@ -187,7 +205,7 @@ def compute_on_dataset_bbox_aug(
     does not aggregate masks either).
     """
     from ..data.collate import select_bucket
-    from ..data.transforms import Normalize
+    from ..data.transforms import Normalize, resize_image
     from .bbox_aug import im_detect_bbox_aug
 
     class_emb = (
@@ -207,52 +225,37 @@ def compute_on_dataset_bbox_aug(
             p, images, image_sizes, class_embeddings=class_emb, train=False
         )
 
-    def make_run_variant():
-        def run_variant(image, hw, flipped):
-            h, w = image.shape[:2]
-            nh, nw = hw
-            img = image
-            if (nh, nw) != (h, w):
-                from PIL import Image as PILImage
-
-                from ..utils.native_image import resize_bilinear_native
-
-                src_u8 = (img * 255).astype(np.uint8)
-                resized = resize_bilinear_native(src_u8, (nh, nw))
-                if resized is None:
-                    resized = np.asarray(
-                        PILImage.fromarray(src_u8).resize(
-                            (nw, nh), PILImage.BILINEAR
-                        )
-                    )
-                img = resized.astype(np.float32) / 255.0
-            if flipped:
-                img = img[:, ::-1]
-            img = normalize({"image": img}, None)["image"]
-            hb, wb = select_bucket(
-                nh, nw, bbox_aug["buckets"],
-                bbox_aug.get("size_divisible", 32),
-            )
-            padded = np.zeros((1, hb, wb, 3), np.float32)
-            padded[0, :nh, :nw] = img
-            out = forward(
-                params,
-                jnp.asarray(padded),
-                jnp.asarray([[nh, nw]], jnp.int32),
-            )
-            dets = jax.device_get(out.detections)
-            keep = dets.valid[0]
-            boxes = dets.boxes[0][keep]
-            # input frame -> original frame (flip stays; the driver
-            # unflips in the original frame)
-            boxes = boxes * np.array(
-                [w / nw, h / nh, w / nw, h / nh], np.float32
-            )
-            return boxes, dets.scores[0][keep], dets.labels[0][keep]
-
-        return run_variant
-
-    run_variant = make_run_variant()
+    def run_variant(image, hw, flipped):
+        h, w = image.shape[:2]
+        nh, nw = hw
+        img = image
+        if (nh, nw) != (h, w):
+            # shared dtype-aware resize (raw_sample images are uint8;
+            # a hand-rolled `img * 255` here once overflowed them)
+            img = resize_image(img, nh, nw)
+        if flipped:
+            img = img[:, ::-1]
+        img = normalize({"image": img}, None)["image"]
+        hb, wb = select_bucket(
+            nh, nw, bbox_aug["buckets"],
+            bbox_aug.get("size_divisible", 32),
+        )
+        padded = np.zeros((1, hb, wb, 3), np.float32)
+        padded[0, :nh, :nw] = img
+        out = forward(
+            params,
+            jnp.asarray(padded),
+            jnp.asarray([[nh, nw]], jnp.int32),
+        )
+        dets = jax.device_get(out.detections)
+        keep = dets.valid[0]
+        boxes = dets.boxes[0][keep]
+        # input frame -> original frame (flip stays; the driver
+        # unflips in the original frame)
+        boxes = boxes * np.array(
+            [w / nw, h / nh, w / nw, h / nh], np.float32
+        )
+        return boxes, dets.scores[0][keep], dets.labels[0][keep]
     results: List[dict] = []
     contig_to_json = getattr(
         dataset, "contiguous_category_id_to_json_id", {}
@@ -292,10 +295,14 @@ def compute_on_dataset_bbox_aug(
 
 
 def evaluate_proposals(
-    model, params, loader, dataset, limit: int = 1000
+    model, params, loader, dataset, limit: int = 1000,
+    output_file: Optional[str] = None,
 ) -> Dict[str, float]:
     """RPN_ONLY evaluation: box-proposal AR over the dataset
-    (the reference's evaluate_box_proposals path)."""
+    (the reference's evaluate_box_proposals path).  Multi-process runs
+    gather the per-host proposal shards first, exactly like the
+    detection path — each rank's loader sees a disjoint image subset,
+    so a shard-local AR is not the whole-dataset number."""
     import jax.numpy as jnp
 
     @jax.jit
@@ -329,6 +336,21 @@ def evaluate_proposals(
             proposals_by_image[img_id] = np.concatenate(
                 [boxes, scores[:, None]], axis=1
             ).astype(np.float64)
+    if jax.process_count() > 1:
+        from ..parallel.mesh import gather_objects
+
+        gathered = gather_objects(proposals_by_image)
+        proposals_by_image = {
+            k: v for part in gathered for k, v in part.items()
+        }
+    if output_file and jax.process_index() == 0:
+        import json
+
+        with open(output_file, "w") as f:
+            json.dump(
+                {int(k): v.tolist() for k, v in proposals_by_image.items()},
+                f,
+            )
     from ..data.evaluation.box_proposals import evaluate_box_proposals
 
     out = {}
@@ -357,7 +379,9 @@ def inference(
     path, which is bbox-only."""
     statics = getattr(model, "statics", None)
     if statics is not None and getattr(statics, "rpn_only", False):
-        return evaluate_proposals(model, params, loader, dataset)
+        return evaluate_proposals(
+            model, params, loader, dataset, output_file=output_file
+        )
     class_emb = getattr(dataset, "class_emb_mtx", None)
     start = time.time()
     if bbox_aug:

@@ -233,13 +233,16 @@ def do_train(
                 # rank-0-only call deadlocks a multi-process cluster);
                 # pipelined: the orbax write overlaps the next steps and
                 # is published by the following save / the final flush
+                # the stream position is STAGED with the save and only
+                # written when the checkpoint publishes, so the loader
+                # state on disk never runs ahead of last_checkpoint
                 save_checkpoint(
                     output_dir,
                     {"state": jax.device_get(state), "iteration": iteration},
                     iteration,
                     block=False,
+                    extras=_loader_state_extras(output_dir, loader),
                 )
-                _save_loader_state(output_dir, loader)
         if test_period and eval_fn and iteration % test_period == 0:
             eval_fn(state, iteration)
         end = time.perf_counter()
@@ -254,9 +257,9 @@ def do_train(
             output_dir,
             {"state": jax.device_get(state), "iteration": iteration},
             iteration,
+            extras=_loader_state_extras(output_dir, loader),
         )
         flush_pending_checkpoint()
-        _save_loader_state(output_dir, loader)
     if writer:
         writer.close()
     return state
@@ -270,20 +273,31 @@ def loader_state_path(output_dir: str) -> str:
     return os.path.join(output_dir, name)
 
 
-def _save_loader_state(output_dir: str, loader) -> None:
-    """Persists the data-stream position next to the model checkpoint
-    (grain iterator get_state; no-op for the thread loader, whose
-    resume is start_iter fast-forwarding)."""
+def _loader_state_extras(output_dir: str, loader):
+    """Snapshot of the data-stream position, serialized NOW (at the
+    checkpoint's iteration) but handed to save_checkpoint as a staged
+    sidecar, written only when the save publishes.  None for the
+    thread loader, whose resume is start_iter fast-forwarding."""
     get_state = getattr(loader, "get_state", None)
     if get_state is None:
-        return
+        return None
     import json
 
     try:
-        with open(loader_state_path(output_dir), "w") as f:
-            json.dump(get_state(), f)
+        return {loader_state_path(output_dir): json.dumps(get_state())}
     except Exception as e:
-        get_logger("trainer").warning("loader state not saved: %s", e)
+        get_logger("trainer").warning("loader state not captured: %s", e)
+        return None
+
+
+def _save_loader_state(output_dir: str, loader) -> None:
+    """Immediately persists the data-stream position (synchronous
+    variant of _loader_state_extras, for callers outside the pipelined
+    checkpoint path)."""
+    extras = _loader_state_extras(output_dir, loader)
+    for p, content in (extras or {}).items():
+        with open(p, "w") as f:
+            f.write(content)
 
 
 def restore_loader_state(output_dir: str, loader) -> bool:

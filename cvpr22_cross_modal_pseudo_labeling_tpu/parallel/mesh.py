@@ -61,6 +61,21 @@ def data_sharded(mesh: Mesh, axis: str = "data") -> NamedSharding:
     return NamedSharding(mesh, P(axis))
 
 
+def local_eval_mesh() -> Optional[Mesh]:
+    """Process-local, data-only mesh for eval sharding.
+
+    Eval feeds host-local numpy batches, so the sharding must stay
+    within this process's addressable devices; the multi-HOST split is
+    the per-process dataset shard + gather (engine/inference.py).  A
+    global training mesh must not be reused there — placing host-local
+    arrays with a cross-process sharding fails.  Returns None with a
+    single local device (plain jit is the same program)."""
+    devs = jax.local_devices()
+    if len(devs) <= 1:
+        return None
+    return Mesh(np.asarray(devs), ("data",))
+
+
 def shard_batch(batch, mesh: Mesh, axis: str = "data"):
     """Places every array in the (pytree) batch with its leading axis
     sharded over the data axis."""

@@ -413,3 +413,62 @@ def test_paths_catalog_import_by_path(tmp_path):
     assert mod is not paths_catalog
     entry = mod.DatasetCatalog.get("x.json")
     assert entry["args"]["ann_file"] == "/custom/x.json"
+
+
+def test_augmentation_rng_varies_across_visits(tiny_coco):
+    """Each visit of the same image must draw fresh augmentation
+    randomness (the reference uses the global `random` module,
+    transforms.py:37,70,81); a frozen per-index seed would pin every
+    flip/scale decision for the whole run."""
+    cfg = get_default_cfg()
+    cfg.INPUT.MIN_SIZE_TRAIN = (48, 56)
+    cfg.INPUT.MAX_SIZE_TRAIN = 128
+    tf = build_transforms(cfg, is_train=True)
+    ann_file, img_dir = tiny_coco
+    ds = COCODataset(ann_file, img_dir, False, transforms=tf)
+    shapes, first_cols = set(), set()
+    for _ in range(40):
+        s = ds[0]
+        shapes.add(s["image"].shape[:2])
+        # flip flips the box x1 coordinate
+        first_cols.add(round(float(s["boxes"][0, 0]), 3))
+    assert len(shapes) > 1, "multi-scale choice frozen across visits"
+    assert len(first_cols) > 1, "flip decision frozen across visits"
+
+
+def test_resize_image_preserves_uint8_and_float():
+    from cvpr22_cross_modal_pseudo_labeling_tpu.data.transforms import (
+        resize_image,
+    )
+
+    u8 = np.full((40, 50, 3), 200, np.uint8)
+    out_u8 = resize_image(u8, 20, 25)
+    assert out_u8.dtype == np.uint8
+    # an `img * 255` overflow would turn 200 into 56
+    assert abs(int(out_u8.mean()) - 200) <= 1
+    f32 = u8.astype(np.float32) / 255.0
+    out_f = resize_image(f32, 20, 25)
+    assert out_f.dtype == np.float32
+    assert abs(float(out_f.mean()) - 200 / 255.0) < 0.01
+
+
+def test_iteration_based_sampler_epoch_keyed_by_iteration():
+    """set_epoch receives the RUNNING iteration (reference
+    iteration_based_batch_sampler.py:22-23), so a resumed run reshuffles
+    from the crash point instead of replaying epoch 0."""
+
+    class _Recorder(_ListBatchSampler):
+        def __init__(self, batches):
+            super().__init__(batches)
+            self.sampler = self
+            self.epochs = []
+
+        def set_epoch(self, e):
+            self.epochs.append(e)
+
+    base = _Recorder([[0], [1]])
+    list(IterationBasedBatchSampler(base, num_iterations=5))
+    assert base.epochs == [0, 2, 4]
+    resumed = _Recorder([[0], [1]])
+    list(IterationBasedBatchSampler(resumed, num_iterations=5, start_iter=3))
+    assert resumed.epochs[0] == 3, "resume must not replay epoch 0"

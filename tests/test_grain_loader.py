@@ -151,3 +151,62 @@ def test_loader_state_save_restore_roundtrip(tmp_path):
 
     _save_loader_state(str(tmp_path), Plain())
     assert restore_loader_state(str(tmp_path), Plain()) is False
+
+
+def test_grain_eval_loader_reiterable():
+    """An eval loader (num_iters=None) is re-iterated every
+    TEST_PERIOD; each pass must yield the full dataset, not an
+    exhausted single-use iterator."""
+    loader = GrainLoader(
+        TinyDataset(10), list_collator, batch_size=3,
+        shuffle=False, drop_last=False, num_threads=2,
+    )
+    first = [i for _, idx in loader for i in idx]
+    second = [i for _, idx in loader for i in idx]
+    assert first == list(range(10))
+    assert second == first, "second eval pass saw an exhausted iterator"
+
+
+def test_loader_state_publishes_with_checkpoint_not_before(tmp_path):
+    """The grain stream position is staged with the pipelined save and
+    written only when the checkpoint PUBLISHES (tag update), so a crash
+    between save-start and publish cannot leave loader_state.json one
+    checkpoint period ahead of last_checkpoint."""
+    import os
+
+    from cvpr22_cross_modal_pseudo_labeling_tpu.engine.checkpoint import (
+        discard_pending_checkpoint,
+        flush_pending_checkpoint,
+        save_checkpoint,
+    )
+    from cvpr22_cross_modal_pseudo_labeling_tpu.engine.trainer import (
+        _loader_state_extras,
+        loader_state_path,
+    )
+
+    loader = GrainLoader(
+        TinyDataset(10), list_collator, batch_size=4,
+        shuffle=True, seed=5, num_iters=6, drop_last=True,
+    )
+    it = loader.iterator()
+    next(it)
+    state_file = loader_state_path(str(tmp_path))
+
+    # a DISCARDED pending save must not publish the loader state
+    save_checkpoint(
+        str(tmp_path), {"w": np.zeros(2)}, 1, block=False,
+        extras=_loader_state_extras(str(tmp_path), loader),
+    )
+    discard_pending_checkpoint()
+    assert not os.path.exists(state_file)
+    assert not os.path.exists(tmp_path / "last_checkpoint")
+
+    # a FLUSHED pending save publishes tag and loader state together
+    save_checkpoint(
+        str(tmp_path), {"w": np.zeros(2)}, 2, block=False,
+        extras=_loader_state_extras(str(tmp_path), loader),
+    )
+    assert not os.path.exists(state_file), "sidecar outran the tag"
+    flush_pending_checkpoint()
+    assert os.path.exists(state_file)
+    assert (tmp_path / "last_checkpoint").read_text().endswith("model_0000002")

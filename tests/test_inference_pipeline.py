@@ -180,6 +180,17 @@ def test_inference_mesh_sharded_eval(fixture):
     )
     assert "bbox/AP" in metrics
 
+    # hybrid data x model mesh: the divisibility gate is the DATA axis
+    # size (2), not the device count (4) — a batch of 2 must take the
+    # sharded program (params replicated over 'model') and match
+    hybrid = Mesh(
+        _np.array(jax.devices()[:4]).reshape(2, 2), ("data", "model")
+    )
+    metrics_h = inference(
+        model, params, loader, ds, iou_types=("bbox",), mesh=hybrid
+    )
+    assert metrics_h["bbox/AP"] == metrics["bbox/AP"]
+
 
 def test_inference_bbox_aug_end_to_end(fixture):
     """TEST.BBOX_AUG path: multi-scale + flip TTA drives the same
@@ -235,3 +246,16 @@ def test_inference_bbox_aug_end_to_end(fixture):
     )
     assert "bbox/AP" in metrics
     assert np.isfinite(metrics["bbox/AP"]) or metrics["bbox/AP"] == -1.0
+
+
+def test_local_eval_mesh_is_data_only_and_local():
+    import jax
+
+    from cvpr22_cross_modal_pseudo_labeling_tpu.parallel.mesh import (
+        local_eval_mesh,
+    )
+
+    mesh = local_eval_mesh()
+    assert mesh is not None  # 8 virtual devices in the test env
+    assert tuple(mesh.axis_names) == ("data",)
+    assert mesh.devices.size == len(jax.local_devices())

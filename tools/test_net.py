@@ -135,13 +135,13 @@ def main():
             "nms_thresh": cfg.MODEL.ROI_HEADS.NMS,
             "detections_per_img": cfg.MODEL.ROI_HEADS.DETECTIONS_PER_IMG,
         }
-    mesh = None
-    if len(jax.devices()) > 1:
-        from cvpr22_cross_modal_pseudo_labeling_tpu.parallel.mesh import (
-            make_mesh,
-        )
+    # eval feeds host-local batches: shard them over this process's
+    # devices (the multi-host split is the dataset shard + gather)
+    from cvpr22_cross_modal_pseudo_labeling_tpu.parallel.mesh import (
+        local_eval_mesh,
+    )
 
-        mesh = make_mesh(cfg.TPU.MESH_AXES, cfg.TPU.MESH_SHAPE)
+    mesh = local_eval_mesh()
     for name, loader, dataset in zip(cfg.DATASETS.TEST, loaders, datasets):
         metrics = inference(
             model,

@@ -393,6 +393,13 @@ def train(cfg, logger):
             rank=jax.process_index(),
             num_replicas=jax.process_count(),
         )
+        # eval feeds host-local batches: shard them over this process's
+        # devices, never the (possibly cross-process) training mesh
+        from cvpr22_cross_modal_pseudo_labeling_tpu.parallel.mesh import (
+            local_eval_mesh,
+        )
+
+        eval_mesh = local_eval_mesh()
         val_step = None
         if not cfg.SOLVER.SKIP_VAL_LOSS:
             from cvpr22_cross_modal_pseudo_labeling_tpu.engine.train_step import (
@@ -420,7 +427,7 @@ def train(cfg, logger):
                     expected_results_sigma_tol=(
                         cfg.TEST.EXPECTED_RESULTS_SIGMA_TOL
                     ),
-                    mesh=mesh,
+                    mesh=eval_mesh,
                 )
                 logger.info(
                     "iter %d eval[%s]: %s", iteration, name,
@@ -470,7 +477,7 @@ def run_test(cfg, model, state, logger):
         inference,
     )
     from cvpr22_cross_modal_pseudo_labeling_tpu.parallel.mesh import (
-        make_mesh,
+        local_eval_mesh,
     )
 
     iou_types = (
@@ -478,12 +485,9 @@ def run_test(cfg, model, state, logger):
             + (("segm",) if cfg.MODEL.MASK_ON else ())
             + (("keypoints",) if cfg.MODEL.KEYPOINT_ON else ())
         )
-    # post-training eval shards over the same mesh training just used
-    mesh = (
-        make_mesh(cfg.TPU.MESH_AXES, cfg.TPU.MESH_SHAPE)
-        if len(jax.devices()) > 1
-        else None
-    )
+    # post-training eval shards batches over this PROCESS's devices;
+    # the multi-host split is the per-process dataset shard + gather
+    mesh = local_eval_mesh()
     loaders, datasets = make_data_loader(
         cfg,
         is_train=False,
