@@ -44,6 +44,13 @@ def to_image_batch(
     sizes = np.array([im.shape[:2] for im in images], np.int32)
     if bucket_hw is not None:
         max_h, max_w = bucket_hw
+        big = sizes.max(axis=0)
+        if big[0] > max_h or big[1] > max_w:
+            raise ValueError(
+                f"image of size {tuple(int(v) for v in big)} exceeds the "
+                f"forced bucket {tuple(bucket_hw)} — check "
+                f"TPU.IMAGE_BUCKETS against INPUT.MAX_SIZE_*"
+            )
     else:
         max_h, max_w = sizes.max(axis=0)
     if size_divisible > 0:

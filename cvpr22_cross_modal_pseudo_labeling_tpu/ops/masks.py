@@ -25,38 +25,12 @@ import jax.numpy as jnp
 import numpy as np
 
 
-def _sample_bilinear(mask: jnp.ndarray, ys: jnp.ndarray, xs: jnp.ndarray):
-    """Bilinear sample of mask [H, W] at float coords (align_corners=False
-    semantics: coord in pixel units, -0.5 offset already applied by the
-    caller). Out-of-range samples clamp to the border (zero-padding is
-    applied by callers when needed)."""
-    h, w = mask.shape
-    y0 = jnp.floor(ys).astype(jnp.int32)
-    x0 = jnp.floor(xs).astype(jnp.int32)
-    ly = ys - y0
-    lx = xs - x0
-    y0c = jnp.clip(y0, 0, h - 1)
-    y1c = jnp.clip(y0 + 1, 0, h - 1)
-    x0c = jnp.clip(x0, 0, w - 1)
-    x1c = jnp.clip(x0 + 1, 0, w - 1)
-    # zero contribution for taps outside the mask
-    wy0 = jnp.where((y0 >= 0) & (y0 <= h - 1), 1.0 - ly, 0.0)
-    wy1 = jnp.where((y0 + 1 >= 0) & (y0 + 1 <= h - 1), ly, 0.0)
-    wx0 = jnp.where((x0 >= 0) & (x0 <= w - 1), 1.0 - lx, 0.0)
-    wx1 = jnp.where((x0 + 1 >= 0) & (x0 + 1 <= w - 1), lx, 0.0)
-    v = (
-        wy0[:, None] * wx0[None, :] * mask[y0c[:, None], x0c[None, :]]
-        + wy0[:, None] * wx1[None, :] * mask[y0c[:, None], x1c[None, :]]
-        + wy1[:, None] * wx0[None, :] * mask[y1c[:, None], x0c[None, :]]
-        + wy1[:, None] * wx1[None, :] * mask[y1c[:, None], x1c[None, :]]
-    )
-    return v
-
-
 def _axis_tap_matrix(coords: jnp.ndarray, size: int) -> jnp.ndarray:
     """[N] float sample positions -> [N, size] two-tap bilinear weight
-    rows (same boundary rules as _sample_bilinear: out-of-range taps
-    contribute zero, indices clamp).  Lets the resample run as matmuls
+    rows (align_corners=False boundary rules: out-of-range taps
+    contribute zero, indices clamp; the gather-formulation golden
+    reference lives in tests/test_ops_misc.py::_sample_bilinear_golden).
+    Lets the resample run as matmuls
     instead of gathers — at train-step scale the gather formulation
     cost ~23ms/step in XLA's custom gather fusions."""
     i0 = jnp.floor(coords).astype(jnp.int32)
@@ -162,7 +136,9 @@ def paste_mask_box_local(
     m = mask_probs.shape[-1]
     scale = float(m + 2 * padding) / m
     mask = np.zeros((m + 2 * padding, m + 2 * padding), np.float32)
-    mask[padding:-padding, padding:-padding] = mask_probs
+    # explicit end index: `[padding:-padding]` is the EMPTY slice when
+    # padding == 0 (a valid Masker setting), silently zeroing every mask
+    mask[padding:padding + m, padding:padding + m] = mask_probs
 
     box = np.asarray(box, np.float32)
     w_half = (box[2] - box[0]) * 0.5 * scale

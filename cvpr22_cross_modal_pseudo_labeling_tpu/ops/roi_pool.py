@@ -22,14 +22,19 @@ def roi_pool(
     rois: jnp.ndarray,
     output_size: Tuple[int, int],
     spatial_scale: float,
-    max_bin: int = 16,
+    max_bin: int = None,
 ) -> jnp.ndarray:
     """features [B, H, W, C]; rois [R, 5] (batch, x1, y1, x2, y2).
-    Returns [R, P, Q, C].  ``max_bin`` caps the per-bin extent (masked
-    max), analogous to the RoIAlign sample cap."""
+    Returns [R, P, Q, C].  ``max_bin`` caps the per-bin scan count; the
+    scan STRIDES across the full bin (subsampled max) rather than
+    truncating its head, so the pooled value always sees the whole bin.
+    Default None = the exact bound ceil(H/P)+1 / ceil(W/Q)+1 (a bin can
+    never be larger), reproducing the reference kernel's full-bin max."""
     P, Q = output_size
     B, H, W, C = features.shape
     dtype = features.dtype
+    max_bin_h = max_bin if max_bin is not None else -(-H // P) + 1
+    max_bin_w = max_bin if max_bin is not None else -(-W // Q) + 1
 
     batch_idx = rois[:, 0].astype(jnp.int32)
     x1 = jnp.round(rois[:, 1] * spatial_scale).astype(jnp.int32)
@@ -60,12 +65,20 @@ def roi_pool(
         neg_inf = jnp.asarray(-jnp.inf, dtype)
         out = jnp.full((P, Q, C), neg_inf)
         fmap = features[b]
-        for dy in range(max_bin):
-            yy = jnp.clip(hstart + dy, 0, H - 1)  # [P]
-            y_ok = (hstart + dy) < hend
-            for dx in range(max_bin):
-                xx = jnp.clip(wstart + dx, 0, W - 1)  # [Q]
-                x_ok = (wstart + dx) < wend
+        # per-bin stride spreads the capped scan over the WHOLE bin
+        # (stride 1 when the cap covers it, i.e. always at the default)
+        ext_h = hend - hstart  # [P]
+        ext_w = wend - wstart  # [Q]
+        stride_h = jnp.maximum((ext_h + max_bin_h - 1) // max_bin_h, 1)
+        stride_w = jnp.maximum((ext_w + max_bin_w - 1) // max_bin_w, 1)
+        for dy in range(max_bin_h):
+            off_y = dy * stride_h  # [P]
+            yy = jnp.clip(hstart + off_y, 0, H - 1)  # [P]
+            y_ok = off_y < ext_h
+            for dx in range(max_bin_w):
+                off_x = dx * stride_w  # [Q]
+                xx = jnp.clip(wstart + off_x, 0, W - 1)  # [Q]
+                x_ok = off_x < ext_w
                 vals = fmap[yy[:, None], xx[None, :]]  # [P, Q, C]
                 ok = (y_ok[:, None] & x_ok[None, :])[..., None]
                 out = jnp.maximum(out, jnp.where(ok, vals, neg_inf))

@@ -18,11 +18,23 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 def _resolve_shape(shape: Sequence[int], n_devices: int):
     """Resolves a single -1 wildcard against the device count (the
-    numpy-reshape convention)."""
+    numpy-reshape convention), with a named error when the spec does
+    not divide the device count (instead of an opaque reshape failure
+    downstream)."""
     shape = list(shape)
+    known = int(np.prod([s for s in shape if s != -1]))
     if -1 in shape:
-        known = int(np.prod([s for s in shape if s != -1]))
-        shape[shape.index(-1)] = n_devices // max(known, 1)
+        if known <= 0 or n_devices % known != 0:
+            raise ValueError(
+                f"mesh shape {tuple(shape)} does not divide "
+                f"{n_devices} devices (fixed axes product {known})"
+            )
+        shape[shape.index(-1)] = n_devices // known
+    elif known != n_devices:
+        raise ValueError(
+            f"mesh shape {tuple(shape)} wants {known} devices "
+            f"but {n_devices} are available"
+        )
     return shape
 
 

@@ -17,17 +17,24 @@ def setup_logger(
     logger = logging.getLogger(name)
     logger.setLevel(logging.DEBUG)
     logger.propagate = False
-    if logger.handlers:
-        return logger
     fmt = logging.Formatter(
         "%(asctime)s %(name)s %(levelname)s: %(message)s"
     )
-    if process_index == 0:
+    # idempotent per handler KIND, not all-or-nothing: a later call
+    # that first learns save_dir must still attach the FileHandler
+    # (an early `if logger.handlers: return` silently dropped it)
+    has_stream = any(
+        type(h) is logging.StreamHandler for h in logger.handlers
+    )
+    has_file = any(
+        isinstance(h, logging.FileHandler) for h in logger.handlers
+    )
+    if process_index == 0 and not has_stream:
         ch = logging.StreamHandler(sys.stdout)
         ch.setLevel(logging.DEBUG)
         ch.setFormatter(fmt)
         logger.addHandler(ch)
-    if save_dir:
+    if save_dir and not has_file:
         os.makedirs(save_dir, exist_ok=True)
         fh = logging.FileHandler(
             os.path.join(save_dir, f"{filename}.rank{process_index}")

@@ -7,76 +7,45 @@ eval-time RLE IoU (run-merge, no mask materialization) and host NMS.
 """
 
 import ctypes
-import os
-import subprocess
-from typing import List, Optional, Sequence
+from typing import Optional, Sequence
 
 import numpy as np
 
-_REPO_ROOT = os.path.dirname(
-    os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-)
-_SRC = os.path.join(_REPO_ROOT, "native", "maskops.cpp")
-_LIB = os.path.join(_REPO_ROOT, "native", "libmaskops.so")
-
-_lib = None
-_tried = False
+from .native_loader import NativeLib
 
 
-def _build() -> bool:
-    try:
-        subprocess.run(
-            ["g++", "-O3", "-shared", "-fPIC", "-o", _LIB, _SRC],
-            check=True,
-            capture_output=True,
-            timeout=120,
-        )
-        return True
-    except Exception:
-        return False
+def _register(lib: ctypes.CDLL) -> None:
+    i64p = ctypes.POINTER(ctypes.c_int64)
+    u8p = ctypes.POINTER(ctypes.c_uint8)
+    i32p = ctypes.POINTER(ctypes.c_int32)
+    dp = ctypes.POINTER(ctypes.c_double)
+    fp = ctypes.POINTER(ctypes.c_float)
+    lib.rle_area.restype = ctypes.c_int64
+    lib.rle_area.argtypes = [i64p, ctypes.c_int64]
+    lib.rle_decode.restype = None
+    lib.rle_decode.argtypes = [i64p, ctypes.c_int64, u8p, ctypes.c_int64]
+    lib.rle_encode.restype = ctypes.c_int64
+    lib.rle_encode.argtypes = [u8p, ctypes.c_int64, i64p, ctypes.c_int64]
+    lib.rle_iou_pair.restype = ctypes.c_double
+    lib.rle_iou_pair.argtypes = [
+        i64p, ctypes.c_int64, i64p, ctypes.c_int64, ctypes.c_int32,
+    ]
+    lib.rle_iou_matrix.restype = None
+    lib.rle_iou_matrix.argtypes = [
+        i64p, i64p, i64p, ctypes.c_int64, i64p, i64p, ctypes.c_int64,
+        i32p, dp,
+    ]
+    lib.nms_cpu.restype = ctypes.c_int64
+    lib.nms_cpu.argtypes = [
+        fp, ctypes.c_int64, ctypes.c_float, i64p, ctypes.c_int64,
+    ]
+
+
+_loader = NativeLib("maskops.cpp", "libmaskops.so", register=_register)
 
 
 def get_lib() -> Optional[ctypes.CDLL]:
-    global _lib, _tried
-    if _lib is not None or _tried:
-        return _lib
-    _tried = True
-    if not os.path.exists(_LIB) or (
-        os.path.exists(_SRC)
-        and os.path.getmtime(_SRC) > os.path.getmtime(_LIB)
-    ):
-        if not os.path.exists(_SRC) or not _build():
-            return None
-    try:
-        lib = ctypes.CDLL(_LIB)
-        i64p = ctypes.POINTER(ctypes.c_int64)
-        u8p = ctypes.POINTER(ctypes.c_uint8)
-        i32p = ctypes.POINTER(ctypes.c_int32)
-        dp = ctypes.POINTER(ctypes.c_double)
-        fp = ctypes.POINTER(ctypes.c_float)
-        lib.rle_area.restype = ctypes.c_int64
-        lib.rle_area.argtypes = [i64p, ctypes.c_int64]
-        lib.rle_decode.restype = None
-        lib.rle_decode.argtypes = [i64p, ctypes.c_int64, u8p, ctypes.c_int64]
-        lib.rle_encode.restype = ctypes.c_int64
-        lib.rle_encode.argtypes = [u8p, ctypes.c_int64, i64p, ctypes.c_int64]
-        lib.rle_iou_pair.restype = ctypes.c_double
-        lib.rle_iou_pair.argtypes = [
-            i64p, ctypes.c_int64, i64p, ctypes.c_int64, ctypes.c_int32,
-        ]
-        lib.rle_iou_matrix.restype = None
-        lib.rle_iou_matrix.argtypes = [
-            i64p, i64p, i64p, ctypes.c_int64, i64p, i64p, ctypes.c_int64,
-            i32p, dp,
-        ]
-        lib.nms_cpu.restype = ctypes.c_int64
-        lib.nms_cpu.argtypes = [
-            fp, ctypes.c_int64, ctypes.c_float, i64p, ctypes.c_int64,
-        ]
-        _lib = lib
-    except OSError:
-        _lib = None
-    return _lib
+    return _loader.get()
 
 
 def _as_i64(a) -> np.ndarray:

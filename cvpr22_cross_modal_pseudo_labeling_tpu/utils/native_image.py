@@ -3,58 +3,35 @@
 unavailable."""
 
 import ctypes
-import os
-import subprocess
 from typing import Optional, Tuple
 
 import numpy as np
 
-_REPO_ROOT = os.path.dirname(
-    os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-)
-_SRC = os.path.join(_REPO_ROOT, "native", "imageops.cpp")
-_LIB = os.path.join(_REPO_ROOT, "native", "libimageops.so")
+from .native_loader import NativeLib
 
-_lib = None
-_tried = False
+
+def _register(lib: ctypes.CDLL) -> None:
+    u8p = ctypes.POINTER(ctypes.c_uint8)
+    ip = ctypes.POINTER(ctypes.c_int)
+    lib.jpeg_dims.restype = ctypes.c_int
+    lib.jpeg_dims.argtypes = [u8p, ctypes.c_int64, ip, ip]
+    lib.decode_jpeg.restype = ctypes.c_int
+    lib.decode_jpeg.argtypes = [u8p, ctypes.c_int64, u8p, ip, ip]
+    lib.resize_bilinear_u8.restype = None
+    lib.resize_bilinear_u8.argtypes = [
+        u8p, ctypes.c_int, ctypes.c_int, u8p, ctypes.c_int,
+        ctypes.c_int,
+    ]
+
+
+_loader = NativeLib(
+    "imageops.cpp", "libimageops.so", extra_flags=("-ljpeg",),
+    register=_register,
+)
 
 
 def get_lib() -> Optional[ctypes.CDLL]:
-    global _lib, _tried
-    if _lib is not None or _tried:
-        return _lib
-    _tried = True
-    if not os.path.exists(_LIB) or (
-        os.path.exists(_SRC)
-        and os.path.getmtime(_SRC) > os.path.getmtime(_LIB)
-    ):
-        try:
-            subprocess.run(
-                ["g++", "-O3", "-shared", "-fPIC", "-o", _LIB, _SRC,
-                 "-ljpeg"],
-                check=True,
-                capture_output=True,
-                timeout=120,
-            )
-        except Exception:
-            return None
-    try:
-        lib = ctypes.CDLL(_LIB)
-        u8p = ctypes.POINTER(ctypes.c_uint8)
-        ip = ctypes.POINTER(ctypes.c_int)
-        lib.jpeg_dims.restype = ctypes.c_int
-        lib.jpeg_dims.argtypes = [u8p, ctypes.c_int64, ip, ip]
-        lib.decode_jpeg.restype = ctypes.c_int
-        lib.decode_jpeg.argtypes = [u8p, ctypes.c_int64, u8p, ip, ip]
-        lib.resize_bilinear_u8.restype = None
-        lib.resize_bilinear_u8.argtypes = [
-            u8p, ctypes.c_int, ctypes.c_int, u8p, ctypes.c_int,
-            ctypes.c_int,
-        ]
-        _lib = lib
-    except OSError:
-        _lib = None
-    return _lib
+    return _loader.get()
 
 
 def decode_jpeg_native(data: bytes) -> Optional[np.ndarray]:

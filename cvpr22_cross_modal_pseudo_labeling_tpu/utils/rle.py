@@ -35,15 +35,14 @@ def mask_to_counts(mask: np.ndarray) -> np.ndarray:
 
 
 def counts_to_mask(counts: Sequence[int], h: int, w: int) -> np.ndarray:
-    flat = np.zeros(h * w, np.uint8)
-    pos = 0
-    val = 0
-    for c in counts:
-        if val:
-            flat[pos : pos + int(c)] = 1
-        pos += int(c)
-        val ^= 1
-    return flat.reshape((h, w), order="F")
+    # one vectorized pass: runs alternate 0/1 starting at 0
+    counts = np.asarray(counts, np.int64)
+    vals = (np.arange(counts.size, dtype=np.int64) & 1).astype(np.uint8)
+    flat = np.repeat(vals, counts)
+    total = h * w
+    if flat.size < total:  # tolerate short run lists (trailing zeros)
+        flat = np.concatenate([flat, np.zeros(total - flat.size, np.uint8)])
+    return flat[:total].reshape((h, w), order="F")
 
 
 def compress_counts(counts: Sequence[int]) -> str:

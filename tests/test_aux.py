@@ -116,3 +116,56 @@ def test_gather_objects_two_process_simulation():
 
     # single-process short-circuit
     assert gather_objects(objs[0], n_processes=1) == [objs[0]]
+
+
+def test_make_mesh_non_divisible_raises():
+    import pytest
+
+    from cvpr22_cross_modal_pseudo_labeling_tpu.parallel.mesh import (
+        make_mesh,
+    )
+
+    with pytest.raises(ValueError, match="does not divide"):
+        make_mesh(("data", "model"), (-1, 3))  # 8 devices % 3 != 0
+    with pytest.raises(ValueError, match="are available"):
+        make_mesh(("data",), (5,))
+
+
+def test_setup_logger_late_save_dir_attaches_file(tmp_path):
+    import logging
+    import os
+
+    from cvpr22_cross_modal_pseudo_labeling_tpu.utils.logger import (
+        setup_logger,
+    )
+
+    name = "cmpl_tpu_test_late_file"
+    # first call: non-zero rank, no save_dir -> NullHandler only
+    lg = setup_logger(name, save_dir=None, process_index=1)
+    assert all(
+        isinstance(h, logging.NullHandler) for h in lg.handlers
+    )
+    # second call learns save_dir -> FileHandler must attach
+    lg = setup_logger(name, save_dir=str(tmp_path), process_index=1)
+    assert any(isinstance(h, logging.FileHandler) for h in lg.handlers)
+    lg.info("hello")
+    for h in lg.handlers:
+        h.flush()
+    assert os.path.exists(tmp_path / "log.txt.rank1")
+    # idempotent: a third call adds no duplicate handlers
+    n = len(lg.handlers)
+    setup_logger(name, save_dir=str(tmp_path), process_index=1)
+    assert len(lg.handlers) == n
+
+
+def test_to_image_batch_oversize_bucket_raises():
+    import numpy as np
+    import pytest
+
+    from cvpr22_cross_modal_pseudo_labeling_tpu.core.image_list import (
+        to_image_batch,
+    )
+
+    ims = [np.zeros((80, 133, 3), np.float32)]
+    with pytest.raises(ValueError, match="exceeds the forced bucket"):
+        to_image_batch(ims, bucket_hw=(64, 64))

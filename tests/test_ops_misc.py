@@ -85,3 +85,80 @@ def test_paste_masks_np_roundtrip():
     assert out[0, 25, 20] == 1
     # far outside is empty
     assert out[0, 5, 5] == 0 and out[0, 55, 55] == 0
+
+
+def _sample_bilinear_golden(mask, ys, xs):
+    """Gather-formulation bilinear sampler (align_corners=False,
+    out-of-range taps contribute zero, indices clamp) — the golden
+    reference for ops/masks._axis_tap_matrix's matmul formulation."""
+    import numpy as np
+
+    h, w = mask.shape
+    y0 = np.floor(ys).astype(np.int32)
+    x0 = np.floor(xs).astype(np.int32)
+    ly, lx = ys - y0, xs - x0
+    y0c, y1c = np.clip(y0, 0, h - 1), np.clip(y0 + 1, 0, h - 1)
+    x0c, x1c = np.clip(x0, 0, w - 1), np.clip(x0 + 1, 0, w - 1)
+    wy0 = np.where((y0 >= 0) & (y0 <= h - 1), 1.0 - ly, 0.0)
+    wy1 = np.where((y0 + 1 >= 0) & (y0 + 1 <= h - 1), ly, 0.0)
+    wx0 = np.where((x0 >= 0) & (x0 <= w - 1), 1.0 - lx, 0.0)
+    wx1 = np.where((x0 + 1 >= 0) & (x0 + 1 <= w - 1), lx, 0.0)
+    return (
+        wy0[:, None] * wx0[None, :] * mask[y0c[:, None], x0c[None, :]]
+        + wy0[:, None] * wx1[None, :] * mask[y0c[:, None], x1c[None, :]]
+        + wy1[:, None] * wx0[None, :] * mask[y1c[:, None], x0c[None, :]]
+        + wy1[:, None] * wx1[None, :] * mask[y1c[:, None], x1c[None, :]]
+    )
+
+
+def test_axis_tap_matrix_matches_gather_golden():
+    import numpy as np
+
+    from cvpr22_cross_modal_pseudo_labeling_tpu.ops.masks import (
+        _axis_tap_matrix,
+    )
+
+    rng = np.random.RandomState(3)
+    mask = rng.rand(9, 7).astype(np.float32)
+    ys = np.linspace(-1.2, 9.7, 13)  # includes out-of-range taps
+    xs = np.linspace(-0.8, 7.4, 11)
+    golden = _sample_bilinear_golden(mask, ys, xs)
+    w_y = np.asarray(_axis_tap_matrix(ys, 9))
+    w_x = np.asarray(_axis_tap_matrix(xs, 7))
+    np.testing.assert_allclose(w_y @ mask @ w_x.T, golden, atol=1e-5)
+
+
+def test_paste_mask_box_local_padding_zero():
+    """padding=0 must paste the probs, not an all-zero buffer (the
+    `[0:-0]` empty-slice pitfall)."""
+    import numpy as np
+
+    from cvpr22_cross_modal_pseudo_labeling_tpu.ops.masks import (
+        paste_mask_box_local,
+    )
+
+    probs = np.full((8, 8), 0.9, np.float32)
+    box = np.array([4.0, 4.0, 19.0, 19.0])
+    out = paste_mask_box_local(probs, box, (32, 32), padding=0)
+    assert out is not None
+    binar, x0, y0 = out
+    assert binar.sum() > 100, "padding=0 pasted an empty mask"
+
+
+def test_roi_pool_large_bins_full_coverage():
+    """Bins larger than the old 16-px scan cap must still see every
+    pixel: the max here lives in the LAST row/col of a ~32-px bin."""
+    import numpy as np
+
+    from cvpr22_cross_modal_pseudo_labeling_tpu.ops.roi_pool import roi_pool
+
+    H = W = 64
+    feats = np.zeros((1, H, W, 1), np.float32)
+    feats[0, 31, 31, 0] = 7.0  # last pixel of bin (0, 0) at P=Q=2
+    feats[0, 63, 63, 0] = 9.0  # last pixel of bin (1, 1)
+    rois = np.array([[0, 0, 0, 63, 63]], np.float32)
+    out = np.asarray(
+        roi_pool(feats, rois, output_size=(2, 2), spatial_scale=1.0)
+    )
+    assert out[0, 0, 0, 0] == 7.0
+    assert out[0, 1, 1, 0] == 9.0
