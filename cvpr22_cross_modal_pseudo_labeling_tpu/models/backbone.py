@@ -62,6 +62,7 @@ class ResNetFPNBackbone(nn.Module):
     use_gn: bool = False
     use_relu: bool = False
     retinanet: bool = False
+    retinanet_use_c5: bool = True  # MODEL.RETINANET.USE_C5
     stage_with_dcn: tuple = (False, False, False, False)
     with_modulated_dcn: bool = False
     norm: str = "frozen_bn"
@@ -105,6 +106,7 @@ class ResNetFPNBackbone(nn.Module):
             use_gn=self.use_gn,
             use_relu=self.use_relu,
             top_block="p6p7" if self.retinanet else "maxpool",
+            p6p7_on_c5=self.retinanet_use_c5,
             dtype=self.dtype,
             name="fpn",
         )(feats)
@@ -145,6 +147,7 @@ def build_backbone(cfg, dtype=jnp.float32) -> Tuple[nn.Module, dict]:
             use_gn=cfg.MODEL.FPN.USE_GN,
             use_relu=cfg.MODEL.FPN.USE_RELU,
             retinanet=True,
+            retinanet_use_c5=cfg.MODEL.RETINANET.USE_C5,
             **common,
         )
         meta = dict(

@@ -85,9 +85,13 @@ def st_statics_from_cfg(cfg, data_shards: int = 1) -> STStatics:
 
 
 def normalize_rows(x, eps=1e-12):
-    return x / jnp.maximum(
-        jnp.linalg.norm(x, axis=-1, keepdims=True), eps
-    )
+    # grad-safe L2 normalize: jnp.linalg.norm's VJP at a zero row is
+    # NaN (0/0) even under a maximum(., eps) clamp (0 * NaN = NaN);
+    # padding rows ARE zero here.  sum-of-squares + rsqrt keeps the
+    # same forward (x / max(||x||, eps)) with a finite (zero) gradient
+    # at x = 0.
+    sq = jnp.sum(jnp.square(x), axis=-1, keepdims=True)
+    return x * jax.lax.rsqrt(jnp.maximum(sq, eps * eps))
 
 
 # ---------------------------------------------------------------------------
@@ -117,7 +121,15 @@ def update_exemplar_table(table, labels, scores, embs, valid):
     type): for each vocab slot, keep the highest-quality embedding seen.
 
     labels [N] int32 (0-based vocab ids); scores [N]; embs [N, d];
-    valid [N]."""
+    valid [N].
+
+    The table is a memory BUFFER, not differentiable state: the
+    reference stores detached host copies (update_exemplars:117-124,
+    ``.cpu()`` on every field), so no gradient may flow from the loss
+    back through the table into this step's pseudo embeddings."""
+    labels = jax.lax.stop_gradient(labels)
+    scores = jax.lax.stop_gradient(scores)
+    embs = jax.lax.stop_gradient(embs)
     v = table["quality"].shape[0]
     quality = jnp.where(valid, scores, -jnp.inf)  # consistency == 1.0
     embs = normalize_rows(embs)
@@ -215,8 +227,13 @@ class STGeneralizedRCNN(nn.Module):
         exemplar embeddings scaled by lambda_exemplar, then row-normalize."""
         if exemplar_embs is None:
             return normalize_rows(embs)
-        mixed = embs + self.lambda_exemplar * exemplar_embs * (
-            exemplar_valid.astype(embs.dtype)[:, None]
+        # reference combine_embs:168 detaches the base embeddings when
+        # exemplars exist (``torch.clone(embs).detach()``) — only
+        # lambda_exemplar carries gradient through the mixed table.
+        mixed = jax.lax.stop_gradient(embs) + (
+            self.lambda_exemplar
+            * exemplar_embs
+            * exemplar_valid.astype(embs.dtype)[:, None]
         )
         return normalize_rows(mixed)
 

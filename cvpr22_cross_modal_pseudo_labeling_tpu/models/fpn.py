@@ -24,6 +24,9 @@ class FPN(nn.Module):
     use_gn: bool = False
     use_relu: bool = False
     top_block: str = "maxpool"  # "maxpool" | "p6p7" | "none"
+    # RetinaNet P6 input: C5 (reference MODEL.RETINANET.USE_C5=True,
+    # backbone.py:54 -> LastLevelP6P7 with in_channels 2048) or P5
+    p6p7_on_c5: bool = True
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -67,10 +70,13 @@ class FPN(nn.Module):
             p6 = nn.max_pool(results[-1], (1, 1), strides=(2, 2))
             results.append(p6)
         elif self.top_block == "p6p7":
+            # LastLevelP6P7 (fpn.py:82-97): use_P5 = in==out channels;
+            # with USE_C5 the 2048-ch C5 feeds P6, not the 256-ch P5
+            p6_in = features[-1] if self.p6p7_on_c5 else results[-1]
             p6 = nn.Conv(
                 self.out_channels, (3, 3), strides=(2, 2),
                 padding=((1, 1), (1, 1)), dtype=self.dtype, name="fpn_p6",
-            )(results[-1])
+            )(p6_in)
             p7 = nn.Conv(
                 self.out_channels, (3, 3), strides=(2, 2),
                 padding=((1, 1), (1, 1)), dtype=self.dtype, name="fpn_p7",

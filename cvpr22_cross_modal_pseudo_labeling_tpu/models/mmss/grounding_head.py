@@ -233,9 +233,16 @@ class GroundingHead(nn.Module):
         else:
             raise NotImplementedError(s.global_metric)
 
-        # guard empty captions/images (grounding_head.py:222-233)
+        # guard empty captions/images (grounding_head.py:222-233).
+        # NOTE upstream defect FIXED here: the reference writes
+        # `(num_words > 0) + (num_regions > 0)` — bool OR — which is
+        # dead code (every image has >= 1 grid region), so an empty
+        # caption keeps distance 0 against every image and scores as a
+        # spurious perfect pair in the matching/cross-entropy losses.
+        # The intended guard is AND: a pair is valid only when BOTH
+        # sides are non-empty; invalid pairs get pushed to max + 100.
         def guard(gd):
-            ok = (nw > 0) | (nr > 0)
+            ok = (nw > 0) & (nr > 0)
             ceiling = jax.lax.stop_gradient(jnp.max(gd)) + 100.0
             return jnp.where(ok, gd, ceiling)
 

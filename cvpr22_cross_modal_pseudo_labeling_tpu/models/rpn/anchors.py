@@ -111,6 +111,16 @@ def build_anchors_for_levels(
     multi-stride (FPN) assigns one size per level
     (anchor_generator.py:128-160 builders).
     """
+    # one stride per feature level, or everything silently misaligns:
+    # a zip-truncated anchor list makes downstream top-k gathers index
+    # out of range (XLA clamps, yielding garbage proposals).  The
+    # reference asserts this in its anchor generator config check.
+    if len(feature_shapes) != len(strides):
+        raise ValueError(
+            f"{len(feature_shapes)} feature levels but "
+            f"{len(strides)} anchor strides — set MODEL.RPN.ANCHOR_STRIDE "
+            f"to one stride per FPN level"
+        )
     out = []
     if len(strides) == 1:
         cells = [generate_cell_anchors(strides[0], sizes, aspect_ratios)]

@@ -131,16 +131,21 @@ def main():
     if args.opts:
         cfg.merge_from_list(args.opts)
 
+    # build_dataset(is_train=False) returns a list of datasets
     dataset = build_dataset(
         cfg, cfg.DATASETS.TEST[:1], build_transforms(cfg, False), False
-    )
+    )[0]
     class_emb = np.asarray(dataset.class_emb_mtx, np.float32)
 
     model = build_detection_model(cfg)
     images = jnp.zeros((1, args.height, args.width, 3), jnp.float32)
     sizes = jnp.array([[args.height, args.width]], jnp.int32)
+    # class_embeddings by keyword: STGeneralizedRCNN's third positional
+    # is `batch`, not the vocabulary (same as build_eval_fn above)
     params = jax.jit(
-        lambda r, im, sz, ce: model.init(r, im, sz, ce, train=False)
+        lambda r, im, sz, ce: model.init(
+            r, im, sz, class_embeddings=ce, train=False
+        )
     )(
         {"params": jax.random.PRNGKey(0)},
         images,
@@ -162,7 +167,11 @@ def main():
             params = {"params": new_params}
             print(f"imported {report['matched']} tensors from {args.ckpt}")
         else:
-            params = load_checkpoint(args.ckpt, params)
+            # training checkpoints store {'state': {params, opt_state,
+            # ...}, 'iteration': ...}; restore raw and take the
+            # apply-ready params dict (same pattern as tools/test_net.py)
+            params = load_checkpoint(args.ckpt)["state"]["params"]
+            print(f"loaded orbax checkpoint {args.ckpt}")
 
     manifest = export_model(
         cfg, params, class_emb, args.batch, args.height, args.width,

@@ -322,7 +322,26 @@ def train(cfg, logger):
     tx, _ = make_optimizer(
         cfg, params["params"], frozen_prefixes_from_cfg(cfg, meta_arch)
     )
-    state = create_train_state(params, tx, jax.random.PRNGKey(42))
+    extra_state = None
+    if cfg.MODEL.EXEMPLARS_ENABLED and meta_arch in ST_FAMILY:
+        # device exemplar table over the LVIS pseudo-label vocabulary
+        # (reference update_exemplars memory, st_generalized_rcnn.py:
+        # 107-129); lives in state.extra, updated inside the jitted
+        # step and checkpointed with the trainer state
+        from cvpr22_cross_modal_pseudo_labeling_tpu.models.detector.st_generalized_rcnn import (
+            init_exemplar_table,
+        )
+
+        extra_state = init_exemplar_table(
+            len(lvis_names), cfg.MODEL.ROI_BOX_HEAD.EMB_DIM
+        )
+        logger.info(
+            "exemplar table initialized: %d slots x %d dims",
+            len(lvis_names), cfg.MODEL.ROI_BOX_HEAD.EMB_DIM,
+        )
+    state = create_train_state(
+        params, tx, jax.random.PRNGKey(42), extra=extra_state
+    )
 
     if last and cfg.MODEL.LOAD_TRAINER_STATE:
         restored = load_checkpoint(
