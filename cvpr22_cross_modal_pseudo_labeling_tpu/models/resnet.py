@@ -110,9 +110,13 @@ class Bottleneck(nn.Module):
             from ..ops.deform_conv import deform_conv2d
 
             n_off = 27 if self.with_modulated_dcn else 18
+            # reference conv2_offset is dilated like the main conv
+            # (layers/misc.py:158) — without kernel_dilation the offset
+            # map's spatial shape disagrees with the deformable grid
             off = nn.Conv(
                 n_off, (3, 3), strides=(s3, s3),
                 padding=((self.dilation,) * 2,) * 2,
+                kernel_dilation=(self.dilation, self.dilation),
                 kernel_init=nn.initializers.zeros,
                 dtype=self.dtype, name="conv2_offset",
             )(out)
@@ -136,6 +140,7 @@ class Bottleneck(nn.Module):
                 stride=s3,
                 padding=self.dilation,
                 dilation=self.dilation,
+                groups=self.num_groups,
             ).astype(self.dtype)
         else:
             out = nn.Conv(

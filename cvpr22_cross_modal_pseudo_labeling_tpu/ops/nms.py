@@ -116,11 +116,17 @@ def nms(
 
     # Compact: first max_outputs kept slots in score order.
     sel = jnp.where(kept, jnp.arange(n_pad), n_pad)
-    first = jnp.argsort(sel)[:max_outputs]
+    k = min(max_outputs, n_pad)
+    first = jnp.argsort(sel)[:k]
     out_idx = order[first].astype(jnp.int32)
     out_valid = kept[first]
     # Map any padded index back into range for safe downstream gathers.
     out_idx = jnp.where(out_valid, out_idx, 0)
+    if k < max_outputs:
+        # keep the documented static [max_outputs] shape even when the
+        # padded input is smaller than the requested capacity
+        out_idx = jnp.pad(out_idx, (0, max_outputs - k))
+        out_valid = jnp.pad(out_valid, (0, max_outputs - k))
     return out_idx, out_valid
 
 

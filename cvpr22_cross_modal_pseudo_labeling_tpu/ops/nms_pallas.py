@@ -44,7 +44,7 @@ def _pair_iou(ax1, ay1, ax2, ay2, a_area, bx1, by1, bx2, by2, b_area):
     )
 
 
-def _nms_kernel(boxes_ref, alive_ref, keep_ref, *, tile: int,
+def _nms_kernel(boxes_ref, alive_ref, labels_ref, keep_ref, *, tile: int,
                 iou_threshold: float):
     num_tiles = boxes_ref.shape[0]
 
@@ -63,17 +63,24 @@ def _nms_kernel(boxes_ref, alive_ref, keep_ref, *, tile: int,
         tb = boxes_ref[t]  # [tile, 4]
         tx1, ty1, tx2, ty2, t_area = coords(tb)
         t_alive = alive_ref[t]
+        t_labels = labels_ref[t]
 
-        # cross suppression by kept boxes of earlier tiles
+        # cross suppression by kept boxes of earlier tiles (same label
+        # only — class-agnostic callers pass all-zero labels)
         def cross_body(j, sup):
             jb = boxes_ref[j]
             jx1, jy1, jx2, jy2, j_area = coords(jb)
             iou = _pair_iou(
                 jx1, jy1, jx2, jy2, j_area, tx1, ty1, tx2, ty2, t_area
             )  # [tile(j), tile(t)]
+            same = (labels_ref[j][:, None] == t_labels[None, :]).astype(
+                jnp.float32
+            )
             keep_j = keep_ref[j]
             s = jnp.max(
-                keep_j[:, None] * (iou > iou_threshold).astype(jnp.float32),
+                keep_j[:, None]
+                * (iou > iou_threshold).astype(jnp.float32)
+                * same,
                 axis=0,
             )
             return jnp.maximum(sup, s)
@@ -87,7 +94,11 @@ def _nms_kernel(boxes_ref, alive_ref, keep_ref, *, tile: int,
         siou = _pair_iou(
             tx1, ty1, tx2, ty2, t_area, tx1, ty1, tx2, ty2, t_area
         )
-        over = (siou > iou_threshold).astype(jnp.float32) * tri
+        over = (
+            (siou > iou_threshold).astype(jnp.float32)
+            * tri
+            * (t_labels[:, None] == t_labels[None, :]).astype(jnp.float32)
+        )
 
         def fix_cond(state):
             return state[1]
@@ -119,9 +130,12 @@ def nms_pallas(
     max_outputs: int,
     tile: int = 256,
     interpret: bool = False,
+    labels: jnp.ndarray = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """Drop-in equivalent of ops.nms.nms with the suppression loop in a
-    single Pallas kernel."""
+    """Drop-in equivalent of ops.nms.nms (including per-class
+    suppression via ``labels``) with the suppression loop in a single
+    Pallas kernel.  Class-agnostic calls run with an all-zero label
+    vector, which the same-label gate reduces to plain NMS."""
     n = boxes.shape[0]
     n_pad = ((n + tile - 1) // tile) * tile
     pad = n_pad - n
@@ -129,11 +143,16 @@ def nms_pallas(
     boxes_p = jnp.pad(boxes.astype(jnp.float32), ((0, pad), (0, 0)))
     scores_p = jnp.pad(scores.astype(jnp.float32), (0, pad))
     valid_p = jnp.pad(valid, (0, pad))
+    if labels is None:
+        labels_p = jnp.zeros((n_pad,), jnp.int32)
+    else:
+        labels_p = jnp.pad(labels.astype(jnp.int32), (0, pad))
 
     key = jnp.where(valid_p, scores_p, -jnp.inf)
     order = jnp.argsort(-key)
     sboxes = boxes_p[order].reshape(num_tiles, tile, 4)
     salive = valid_p[order].astype(jnp.float32).reshape(num_tiles, tile)
+    slabels = labels_p[order].reshape(num_tiles, tile)
 
     keep = pl.pallas_call(
         functools.partial(
@@ -143,15 +162,22 @@ def nms_pallas(
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
         interpret=interpret,
-    )(sboxes, salive)
+    )(sboxes, salive, slabels)
 
     kept = keep.reshape(n_pad) > 0.5
     sel = jnp.where(kept, jnp.arange(n_pad), n_pad)
-    first = jnp.argsort(sel)[:max_outputs]
+    k = min(max_outputs, n_pad)
+    first = jnp.argsort(sel)[:k]
     out_idx = order[first].astype(jnp.int32)
     out_valid = kept[first]
     out_idx = jnp.where(out_valid, out_idx, 0)
+    if k < max_outputs:
+        # keep the documented static [max_outputs] shape even when the
+        # padded input is smaller than the requested capacity
+        out_idx = jnp.pad(out_idx, (0, max_outputs - k))
+        out_valid = jnp.pad(out_valid, (0, max_outputs - k))
     return out_idx, out_valid

@@ -35,6 +35,8 @@ from typing import Tuple
 import jax
 import jax.numpy as jnp
 
+from .roi_align import _bilinear_weights
+
 
 def _axis_interp_matrix(
     start: jnp.ndarray,
@@ -67,17 +69,12 @@ def _axis_interp_matrix(
             + p_idx * bin_size[:, None]
             + (i + 0.5) * bin_size[:, None] / g
         )  # [R, bins]
-        in_range = (coord >= -1.0) & (coord <= size)
-        c = jnp.maximum(coord, 0.0)
-        lo = jnp.floor(c).astype(jnp.int32)
-        at_edge = lo >= size - 1
-        lo = jnp.where(at_edge, size - 1, lo)
-        hi = jnp.where(at_edge, size - 1, lo + 1)
-        c = jnp.where(at_edge, lo.astype(dtype), c)
-        l = c - lo.astype(dtype)
+        # shared Caffe2 boundary rules — roi_align.py is the golden
+        # reference for these numerics; do not re-inline them here
+        lo, hi, w_lo, w_hi, in_range = _bilinear_weights(coord, size)
         valid = (in_range & (i < grid[:, None])).astype(dtype)
-        w_lo = (1.0 - l) * valid  # [R, bins]
-        w_hi = l * valid
+        w_lo = w_lo * valid  # [R, bins]
+        w_hi = w_hi * valid
         onehot_lo = (pos_iota == lo[:, :, None]).astype(dtype)
         onehot_hi = (pos_iota == hi[:, :, None]).astype(dtype)
         a = a + w_lo[:, :, None] * onehot_lo + w_hi[:, :, None] * onehot_hi

@@ -13,6 +13,8 @@ from typing import Tuple
 import jax
 import jax.numpy as jnp
 
+from .deform_conv import _round_half_away
+
 
 @functools.partial(
     jax.jit, static_argnames=("output_size", "spatial_scale", "max_bin")
@@ -37,10 +39,13 @@ def roi_pool(
     max_bin_w = max_bin if max_bin is not None else -(-W // Q) + 1
 
     batch_idx = rois[:, 0].astype(jnp.int32)
-    x1 = jnp.round(rois[:, 1] * spatial_scale).astype(jnp.int32)
-    y1 = jnp.round(rois[:, 2] * spatial_scale).astype(jnp.int32)
-    x2 = jnp.round(rois[:, 3] * spatial_scale).astype(jnp.int32)
-    y2 = jnp.round(rois[:, 4] * spatial_scale).astype(jnp.int32)
+    # C round() — half away from zero; jnp.round's half-to-even would
+    # shift the boundary one cell on exact .5 products (x=8, scale 1/16)
+    rnd = lambda v: _round_half_away(v).astype(jnp.int32)
+    x1 = rnd(rois[:, 1] * spatial_scale)
+    y1 = rnd(rois[:, 2] * spatial_scale)
+    x2 = rnd(rois[:, 3] * spatial_scale)
+    y2 = rnd(rois[:, 4] * spatial_scale)
     roi_w = jnp.maximum(x2 - x1 + 1, 1)
     roi_h = jnp.maximum(y2 - y1 + 1, 1)
     bin_w = roi_w.astype(dtype) / Q

@@ -58,6 +58,41 @@ def test_roi_pool_simple_max():
     )
 
 
+def test_roi_pool_rounds_half_away_from_zero():
+    """CUDA round() is half-away-from-zero: coord 8 at scale 1/16 maps
+    to cell 1 (0.5 -> 1), where jnp.round's half-to-even gives cell 0.
+    (ROIPool_cuda.cu:30-33)."""
+    f = np.zeros((1, 4, 4, 1), np.float32)
+    for y in range(4):
+        for x in range(4):
+            f[0, y, x, 0] = 10 * y + x
+    rois = np.array([[0, 8.0, 8.0, 8.0, 8.0]], np.float32)
+    out = roi_pool(jnp.asarray(f), jnp.asarray(rois), (1, 1), 1.0 / 16)
+    np.testing.assert_allclose(np.asarray(out)[0, 0, 0, 0], 11.0)
+
+
+def test_nms_output_capacity_exceeds_input():
+    """max-output capacity larger than the padded input still yields
+    the documented static shapes (padded with invalid slots)."""
+    from cvpr22_cross_modal_pseudo_labeling_tpu.ops.nms import nms
+
+    rng = np.random.RandomState(5)
+    n = 10
+    boxes = np.abs(rng.randn(n, 4)).astype(np.float32)
+    boxes[:, 2:] = boxes[:, :2] + 5.0
+    idx, keep = nms(
+        jnp.asarray(boxes),
+        jnp.asarray(rng.rand(n).astype(np.float32)),
+        jnp.ones(n, bool),
+        0.5,
+        max_outputs=300,
+        tile=64,
+    )
+    assert idx.shape == (300,)
+    assert keep.shape == (300,)
+    assert not bool(np.asarray(keep)[n:].any())
+
+
 def test_crop_resize_identity():
     rng = np.random.RandomState(0)
     mask = rng.rand(28, 28).astype(np.float32)
