@@ -85,7 +85,7 @@ def main():
     img_ids = {a["image_id"] for a in annotations}
     images = [im for im in data["images"] if im["id"] in img_ids]
 
-    os.makedirs(os.path.dirname(args.out), exist_ok=True)
+    os.makedirs(os.path.dirname(args.out) or ".", exist_ok=True)
     with open(args.out, "w") as f:
         json.dump(
             {

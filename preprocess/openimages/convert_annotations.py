@@ -91,7 +91,7 @@ def main():
                 ann["iseg_file_name"] = mask_by_box[box_id]
             annotations.append(ann)
 
-    os.makedirs(os.path.dirname(args.out), exist_ok=True)
+    os.makedirs(os.path.dirname(args.out) or ".", exist_ok=True)
     with open(args.out, "w") as f:
         json.dump(
             {

@@ -179,3 +179,24 @@ def test_extract_conceptual_meta(tmp_path):
     assert [it["id"] for it in items] == [0, 2]
     assert items[0]["caption"] == "a dog on a beach"
     assert (items[0]["height"], items[0]["width"]) == (34, 12)
+
+    # sharded extraction + merge reproduces the single-pass index
+    # (reference partitions the 3.3M-image corpus into 40 jobs and
+    # merges: merge_conceptual_cap_meta.py)
+    for k in range(2):
+        run(
+            "conceptual/extract_conceptual_meta.py",
+            "--tsv", str(tsv), "--images", str(img_dir),
+            "--out", str(tmp_path / f"shard.{k}.2.json"),
+            "--shard", f"{k}/2",
+        )
+    shard0 = json.loads((tmp_path / "shard.0.2.json").read_text())
+    assert [it["id"] for it in shard0] == [0, 2]  # even rows
+    assert json.loads((tmp_path / "shard.1.2.json").read_text()) == []
+    merged = tmp_path / "merged.json"
+    run(
+        "conceptual/extract_conceptual_meta.py",
+        "--merge", str(tmp_path / "shard.*.2.json"),
+        "--out", str(merged),
+    )
+    assert json.loads(merged.read_text()) == items
