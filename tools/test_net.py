@@ -26,6 +26,11 @@ def main():
     import numpy as np
 
     from cvpr22_cross_modal_pseudo_labeling_tpu.config import get_default_cfg
+    from cvpr22_cross_modal_pseudo_labeling_tpu.utils.compile_cache import (
+        enable_compile_cache,
+    )
+
+    enable_compile_cache()
     from cvpr22_cross_modal_pseudo_labeling_tpu.data import make_data_loader
     from cvpr22_cross_modal_pseudo_labeling_tpu.engine.checkpoint import (
         latest_checkpoint,

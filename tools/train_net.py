@@ -39,6 +39,11 @@ def main():
         jax.distributed.initialize()
 
     from cvpr22_cross_modal_pseudo_labeling_tpu.config import get_default_cfg
+    from cvpr22_cross_modal_pseudo_labeling_tpu.utils.compile_cache import (
+        enable_compile_cache,
+    )
+
+    enable_compile_cache()
     from cvpr22_cross_modal_pseudo_labeling_tpu.utils.logger import setup_logger
 
     cfg = get_default_cfg()
