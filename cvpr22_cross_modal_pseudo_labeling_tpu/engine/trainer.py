@@ -159,6 +159,14 @@ def do_train(
         state, metrics = step_fn(state, batch)
         iteration += 1
 
+        # per-step wall/data meters every iteration (reference
+        # trainer.py:99 records data_time each step); note the step
+        # dispatch is async, so an individual batch_time only means
+        # "host-side time this iteration" — global_avg over the run is
+        # the accurate sustained number, and sum(data)/sum(time) is the
+        # host data-wait fraction
+        meters.update(time=time.perf_counter() - end, data=data_time)
+
         if iteration % log_period == 0 or iteration == max_iter:
             metrics = {
                 k: float(v)
@@ -207,10 +215,7 @@ def do_train(
                 )
             if total is not None:
                 last_finite_iter = iteration
-            batch_time = time.perf_counter() - end
-            meters.update(
-                time=batch_time, data=data_time, **metrics
-            )
+            meters.update(**metrics)
             eta = datetime.timedelta(
                 seconds=int(
                     meters.meters["time"].global_avg
@@ -262,6 +267,22 @@ def do_train(
         flush_pending_checkpoint()
     if writer:
         writer.close()
+    steps = iteration - start_iter
+    if steps > 0 and "time" in meters.meters:
+        # sustained summary for bench/driver parsing (reference logs the
+        # analogous totals at engine/trainer.py:261-266)
+        t = meters.meters["time"]
+        d = meters.meters["data"]
+        imgs = cfg.SOLVER.IMS_PER_BATCH // max(jax.process_count(), 1)
+        logger.info(
+            "sustained: %d steps, %.1f s wall, %.3f s/it, "
+            "%.2f imgs/s/host, data-wait %.1f%% "
+            "(sum_data %.1f s / sum_time %.1f s)",
+            steps, t.total, t.total / steps,
+            imgs * steps / t.total,
+            100.0 * d.total / max(t.total, 1e-9),
+            d.total, t.total,
+        )
     return state
 
 

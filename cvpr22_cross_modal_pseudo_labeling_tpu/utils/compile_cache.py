@@ -37,11 +37,15 @@ def enable_compile_cache(cache_dir: str = "") -> str:
     try:
         os.makedirs(resolved, exist_ok=True)
         jax.config.update("jax_compilation_cache_dir", resolved)
-        # cache everything: the default thresholds skip small/fast
+        # cache aggressively: the default thresholds skip small/fast
         # programs, but eval postprocessors and tiny test configs are
-        # exactly the programs re-run most often
+        # exactly the programs re-run most often.  The 0.5 s floor keeps
+        # sub-second throwaway programs (unit-test lambdas, scalar jits)
+        # from accumulating — they are cheaper to recompile than to
+        # store.  The cache has no eviction; prune with
+        # ``find ~/.jax_cache -atime +30 -delete`` if it grows.
         jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
     except Exception:
         return ""  # older jax or unwritable fs: compile uncached
     return resolved

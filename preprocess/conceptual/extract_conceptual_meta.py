@@ -31,8 +31,17 @@ def merge(pattern: str, out_path: str) -> int:
     merge_conceptual_cap_meta.py: per-partition dict update) into one
     index sorted by id; duplicate ids keep the last occurrence, matching
     the reference's dict.update semantics."""
+    def shard_index(path):
+        # m.<K>.<N>.json -> K; numeric order matches the reference's
+        # range(n_partition) merge order even for N > 9 shards.
+        parts = os.path.basename(path).split(".")
+        for part in parts:
+            if part.isdigit():
+                return int(part)
+        return -1
+
     by_id = {}
-    paths = sorted(glob.glob(pattern))
+    paths = sorted(glob.glob(pattern), key=lambda p: (shard_index(p), p))
     if not paths:
         raise SystemExit(f"--merge matched no files: {pattern}")
     for path in paths:
@@ -52,7 +61,12 @@ def main():
     p.add_argument("--tsv", help="captions TSV")
     p.add_argument("--images", help="image directory")
     p.add_argument("--out", required=True)
-    p.add_argument("--limit", type=int, default=0)
+    p.add_argument(
+        "--limit", type=int, default=0,
+        help="stop after this many items; applied PER SHARD when "
+             "combined with --shard (a merged run can hold up to "
+             "limit*N items)",
+    )
     p.add_argument(
         "--shard", default="",
         help="K/N: only process TSV rows with index %% N == K",
@@ -71,8 +85,11 @@ def main():
         p.error("--tsv and --images are required unless --merge is given")
     shard_k, shard_n = 0, 1
     if args.shard:
-        shard_k, shard_n = (int(x) for x in args.shard.split("/"))
-        if not 0 <= shard_k < shard_n:
+        try:
+            shard_k, shard_n = (int(x) for x in args.shard.split("/"))
+        except ValueError:
+            p.error(f"bad --shard {args.shard!r}: expected K/N")
+        if shard_n <= 0 or not 0 <= shard_k < shard_n:
             p.error(f"bad --shard {args.shard}")
 
     items = []

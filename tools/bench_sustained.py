@@ -1,0 +1,160 @@
+#!/usr/bin/env python
+"""Sustained end-to-end CLI benchmark on the real device.
+
+Every per-chip number in BENCH_NOTES through round 3 was a jitted-step
+bench over device-resident synthetic batches; this tool measures the
+*product*: it drives the real ``tools/train_net.py`` (JPEG decode ->
+transforms -> bucket collate -> host->HBM transfer -> compiled step ->
+periodic checkpoint) as a subprocess over a production-size synthetic
+COCO tree (tools/synth_coco.py) and reports sustained imgs/s, the
+host data-wait fraction, and peak host RSS.  The reference's analogous
+telemetry is the trainer's data/batch-time meters
+(engine/trainer.py:99,143-171).
+
+  python tools/bench_sustained.py --steps 300            # on the chip
+  python tools/bench_sustained.py --steps 8 --cpu        # smoke
+
+Prints one JSON line; also appended by hand to BENCH_NOTES.json.
+"""
+
+import argparse
+import json
+import os
+import re
+import subprocess
+import sys
+import threading
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+SUSTAINED_RE = re.compile(
+    r"sustained: (\d+) steps, ([\d.]+) s wall, ([\d.]+) s/it, "
+    r"([\d.]+) imgs/s/host, data-wait ([\d.]+)%"
+)
+
+
+def peak_rss_watcher(pid, out, stop):
+    """Samples /proc/<pid>/status VmRSS (plus children via smaps of the
+    direct process only — the loader is threaded, not forked, so one
+    process holds all host memory)."""
+    peak = 0
+    while not stop.is_set():
+        try:
+            with open(f"/proc/{pid}/status") as f:
+                for line in f:
+                    if line.startswith("VmRSS"):
+                        peak = max(peak, int(line.split()[1]))
+        except OSError:
+            break
+        time.sleep(0.5)
+    out["peak_rss_kb"] = peak
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--steps", type=int, default=300)
+    p.add_argument("--batch", type=int, default=8)
+    p.add_argument("--data", default="/tmp/synth_coco")
+    p.add_argument("--out", default="/tmp/bench_sustained")
+    p.add_argument("--train-images", type=int, default=512)
+    p.add_argument("--cpu", action="store_true",
+                   help="tiny CPU smoke (64x64 bucket, float32)")
+    p.add_argument("--config",
+                   default="configs/coco_cap_det/zeroshot_mask.yaml")
+    p.add_argument("--log-period", type=int, default=25)
+    p.add_argument("--checkpoint-period", type=int, default=100)
+    p.add_argument("--grain", action="store_true",
+                   help="drive the grain pipeline instead of the "
+                        "threaded loader")
+    args = p.parse_args()
+
+    if not os.path.isdir(os.path.join(args.data, "coco")):
+        subprocess.check_call(
+            [sys.executable, os.path.join(REPO, "tools/synth_coco.py"),
+             "--out", args.data, "--train", str(args.train_images),
+             "--val", "64"]
+        )
+
+    env = dict(os.environ, CMPL_TPU_DATA_DIR=args.data)
+    overrides = [
+        "SOLVER.MAX_ITER", str(args.steps),
+        "SOLVER.IMS_PER_BATCH", str(args.batch),
+        "SOLVER.LOG_PERIOD", str(args.log_period),
+        "SOLVER.CHECKPOINT_PERIOD", str(args.checkpoint_period),
+        "SOLVER.TEST_PERIOD", "0",
+        "OUTPUT_DIR", args.out,
+        "DATALOADER.USE_GRAIN", str(bool(args.grain)),
+    ]
+    if args.cpu:
+        env.pop("PALLAS_AXON_POOL_IPS", None)
+        env["JAX_PLATFORMS"] = "cpu"
+        overrides += [
+            "INPUT.MIN_SIZE_TRAIN", "(64,)",
+            "INPUT.MAX_SIZE_TRAIN", "64",
+            "TPU.IMAGE_BUCKETS", "((64, 64),)",
+            "TPU.COMPUTE_DTYPE", "float32",
+            "TPU.MAX_GT", "8",
+            "TPU.NMS_TILE", "64",
+            "MODEL.RPN.PRE_NMS_TOP_N_TRAIN", "128",
+            "MODEL.RPN.POST_NMS_TOP_N_TRAIN", "32",
+            "MODEL.ROI_HEADS.BATCH_SIZE_PER_IMAGE", "32",
+        ]
+
+    cmd = [
+        sys.executable, os.path.join(REPO, "tools/train_net.py"),
+        "--config-file", os.path.join(REPO, args.config),
+        "--skip-test",
+    ] + overrides
+    t0 = time.time()
+    proc = subprocess.Popen(
+        cmd, cwd=REPO, env=env,
+        stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+    )
+    rss, stop = {}, threading.Event()
+    watcher = threading.Thread(
+        target=peak_rss_watcher, args=(proc.pid, rss, stop), daemon=True
+    )
+    watcher.start()
+
+    sustained = None
+    lines = []
+    for line in proc.stdout:
+        lines.append(line)
+        if len(lines) % 50 == 0 or "sustained:" in line:
+            sys.stderr.write(line)
+        m = SUSTAINED_RE.search(line)
+        if m:
+            sustained = m
+    proc.wait()
+    stop.set()
+    watcher.join(timeout=5)
+
+    if proc.returncode != 0 or sustained is None:
+        sys.stderr.writelines(lines[-40:])
+        raise SystemExit(
+            f"train_net failed rc={proc.returncode} "
+            f"(sustained line {'missing' if sustained is None else 'ok'})"
+        )
+
+    steps = int(sustained.group(1))
+    wall = float(sustained.group(2))
+    result = {
+        "metric": "sustained_cli_train_imgs_per_sec",
+        "value": round(args.batch * steps / wall, 3),
+        "unit": "imgs/sec (e2e CLI, incl. host pipeline)",
+        "steps": steps,
+        "s_per_it": float(sustained.group(3)),
+        "data_wait_pct": float(sustained.group(5)),
+        "wall_s_excl_compile": wall,
+        "wall_s_total": round(time.time() - t0, 1),
+        "peak_host_rss_gb": round(rss.get("peak_rss_kb", 0) / 1e6, 2),
+        "batch": args.batch,
+        "loader": "grain" if args.grain else "threaded",
+        "backend": "cpu" if args.cpu else "tpu",
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()
