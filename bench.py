@@ -21,10 +21,20 @@ import numpy as np
 A100_REFERENCE_IMGS_PER_SEC = 4.0
 
 
-def headline(batch_size: int, emit: bool = True):
+def headline(
+    batch_size: int,
+    emit: bool = True,
+    bucket=(800, 1344),
+    image_hw=(800, 1333),
+):
     """Runs the headline teacher-train bench in THIS process; prints
     its JSON line when ``emit`` (the subprocess entry) and returns the
-    dict (the in-process fallback adds notes before printing)."""
+    dict (the in-process fallback adds notes before printing).
+
+    ``bucket`` is the padded (H, W) the step compiles for; ``image_hw``
+    the true image size inside it (tools/bench_bucket_mix.py sweeps
+    these over cfg.TPU.IMAGE_BUCKETS to weight by a realistic COCO
+    aspect mix)."""
     import jax
 
     # persistent compilation cache: the first bench run warms it so later
@@ -48,7 +58,7 @@ def headline(batch_size: int, emit: bool = True):
         statics_from_cfg,
     )
 
-    h, w = 800, 1344  # the (800, 1333) train bucket, padded /64
+    h, w = bucket  # default: the (800, 1333) train bucket, padded /64
 
     cfg = get_default_cfg()
     cfg.MODEL.MASK_ON = True
@@ -72,17 +82,25 @@ def headline(batch_size: int, emit: bool = True):
             rng.rand(batch_size, h, w, 3), jnp.float32
         ),
         "image_sizes": jnp.tile(
-            jnp.array([[800, 1333]], jnp.int32), (batch_size, 1)
+            jnp.array([list(image_hw)], jnp.int32), (batch_size, 1)
         ),
         "class_embeddings": jnp.asarray(rng.randn(49, 768), jnp.float32),
         "gt_boxes": jnp.asarray(
-            np.concatenate(
+            np.stack(
                 [
-                    rng.uniform(0, 600, (batch_size, 20, 2)),
-                    rng.uniform(650, 1300, (batch_size, 20, 2)),
+                    rng.uniform(0, 0.45 * image_hw[1], (batch_size, 20)),
+                    rng.uniform(0, 0.45 * image_hw[0], (batch_size, 20)),
+                    rng.uniform(
+                        0.5 * image_hw[1], 0.98 * image_hw[1],
+                        (batch_size, 20),
+                    ),
+                    rng.uniform(
+                        0.5 * image_hw[0], 0.98 * image_hw[0],
+                        (batch_size, 20),
+                    ),
                 ],
                 axis=-1,
-            )[..., [0, 1, 2, 3]],
+            ),
             jnp.float32,
         ),
         "gt_labels": jnp.asarray(

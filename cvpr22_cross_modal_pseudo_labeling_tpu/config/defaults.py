@@ -63,6 +63,13 @@ _C.INPUT.MAX_SIZE_TEST = 1333
 _C.INPUT.PIXEL_MEAN = (102.9801, 115.9465, 122.7717)
 _C.INPUT.PIXEL_STD = (1.0, 1.0, 1.0)
 _C.INPUT.TO_BGR255 = True
+# Defer normalization to the device when the decoded image is uint8:
+# the batch ships to HBM as uint8 (4x smaller transfer) and the
+# BGR/mean/std math fuses into the stem conv's input
+# (models/backbone.py:device_normalize).  Numerically identical to the
+# host path; set False to normalize on the host like the reference
+# (transforms.py:110-120).
+_C.INPUT.DEVICE_NORMALIZE = True
 _C.INPUT.BRIGHTNESS = 0.0
 _C.INPUT.CONTRAST = 0.0
 _C.INPUT.SATURATION = 0.0

@@ -123,7 +123,14 @@ class BatchCollator:
         )
         m = self.gt_mask_size
 
-        images = np.zeros((b, H, W, 3), np.float32)
+        # uint8 when normalization is deferred to the device
+        # (INPUT.DEVICE_NORMALIZE): 4x smaller host->HBM transfer
+        img_dtype = (
+            np.uint8
+            if all(s["image"].dtype == np.uint8 for s in samples)
+            else np.float32
+        )
+        images = np.zeros((b, H, W, 3), img_dtype)
         image_sizes = np.zeros((b, 2), np.int32)
         gt_boxes = np.zeros((b, self.max_gt, 4), np.float32)
         gt_labels = np.zeros((b, self.max_gt), np.int32)

@@ -195,13 +195,19 @@ class ColorJitter:
 
 
 class Normalize:
-    def __init__(self, mean, std, to_bgr255=True):
+    def __init__(self, mean, std, to_bgr255=True, defer_uint8=False):
         self.mean = np.asarray(mean, np.float32)
         self.std = np.asarray(std, np.float32)
         self.to_bgr255 = to_bgr255
+        # INPUT.DEVICE_NORMALIZE: keep uint8 images raw; the model
+        # normalizes on device (models/backbone.py:device_normalize).
+        # Non-uint8 images (TTA rescales etc.) still normalize here.
+        self.defer_uint8 = defer_uint8
 
     def __call__(self, sample: Dict, rng: random.Random) -> Dict:
         img = sample["image"]
+        if img.dtype == np.uint8 and self.defer_uint8:
+            return sample
         if img.dtype == np.uint8:  # fast path: one float conversion
             img = img.astype(np.float32)
             if self.to_bgr255:
@@ -249,7 +255,8 @@ def build_transforms(cfg, is_train: bool) -> Compose:
         ts = [Resize((cfg.INPUT.MIN_SIZE_TEST,), cfg.INPUT.MAX_SIZE_TEST)]
     ts.append(
         Normalize(
-            cfg.INPUT.PIXEL_MEAN, cfg.INPUT.PIXEL_STD, cfg.INPUT.TO_BGR255
+            cfg.INPUT.PIXEL_MEAN, cfg.INPUT.PIXEL_STD, cfg.INPUT.TO_BGR255,
+            defer_uint8=cfg.INPUT.DEVICE_NORMALIZE,
         )
     )
     return Compose(ts)

@@ -133,6 +133,7 @@ def compute_on_dataset(
     futures = []
     results: List[dict] = []
     timer = Timer()
+    wall_start = time.perf_counter()
     n_images = 0
     workers = min(8, os.cpu_count() or 1)
     # backpressure: each pending future retains its batch's device_get'd
@@ -179,10 +180,18 @@ def compute_on_dataset(
         for f in futures:
             results.extend(f.result())
     if n_images:
+        # split mirrors reference engine/inference.py:136-156 (total vs
+        # model time): `device` is forward+device_get; the e2e line adds
+        # host decode/collate and paste/RLE conversion overlap
+        wall = time.perf_counter() - wall_start
         logger.info(
-            "inference: %d images, %.4f s/img (device+host)",
+            "inference: %d images, %.4f s/img device, %.4f s/img e2e "
+            "(%.2f imgs/s e2e; device busy %.0f%%)",
             n_images,
             timer.total_time / n_images,
+            wall / n_images,
+            n_images / wall,
+            100.0 * timer.total_time / wall,
         )
     return results
 

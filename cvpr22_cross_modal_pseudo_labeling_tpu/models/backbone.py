@@ -16,6 +16,46 @@ from .fpn import FPN
 from .resnet import RESNET_STAGES, ResNet
 
 
+def device_normalize(
+    images: jnp.ndarray,
+    image_sizes: jnp.ndarray,
+    pixel_mean: Tuple[float, ...] = (102.9801, 115.9465, 122.7717),
+    pixel_std: Tuple[float, ...] = (1.0, 1.0, 1.0),
+    to_bgr255: bool = True,
+) -> jnp.ndarray:
+    """Device-side image normalization for uint8 batches.
+
+    The reference normalizes on the host (transforms.py:110-120 with
+    INPUT.PIXEL_MEAN, defaults.py:62) before DataLoader collation.  On
+    TPU that costs two host-side full-image float passes per sample and
+    a float32 host->HBM transfer; shipping the padded batch as uint8
+    instead cuts the transfer 4x and the flip/subtract/divide fuse into
+    the stem conv's input.  Numerics match the host path bit-for-bit:
+    the same float32 ops in the same order, and the padded region is
+    re-zeroed (the host path pads AFTER normalize with zeros,
+    reference structures/image_list.py:54-66).
+
+    Float inputs are returned unchanged (already host-normalized — the
+    test suite and the TTA path feed those).
+    """
+    if jnp.issubdtype(images.dtype, jnp.floating):
+        return images
+    x = images.astype(jnp.float32)
+    if to_bgr255:
+        x = x[..., ::-1]
+    else:
+        x = x / 255.0
+    mean = jnp.asarray(pixel_mean, jnp.float32)
+    std = jnp.asarray(pixel_std, jnp.float32)
+    x = (x - mean) / std
+    h = jnp.arange(images.shape[1])[None, :, None, None]
+    w = jnp.arange(images.shape[2])[None, None, :, None]
+    valid = (h < image_sizes[:, 0, None, None, None]) & (
+        w < image_sizes[:, 1, None, None, None]
+    )
+    return jnp.where(valid, x, 0.0)
+
+
 class ResNetBackbone(nn.Module):
     """C4/C5 single-feature backbone."""
 

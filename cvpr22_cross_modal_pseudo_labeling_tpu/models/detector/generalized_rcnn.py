@@ -26,7 +26,7 @@ import numpy as np
 
 from ...core.box_coder import decode_boxes
 from ...core.boxes import clip_to_image
-from ..backbone import ResNetBackbone, ResNetFPNBackbone
+from ..backbone import ResNetBackbone, ResNetFPNBackbone, device_normalize
 from ..resnet import RESNET_STAGES, ResNetRoIHead
 from ..rpn.anchors import anchor_visibility, build_anchors_for_levels
 from ..rpn.rpn import (
@@ -216,6 +216,10 @@ class GeneralizedRCNN(nn.Module):
         lambda_mask: float = 1.0,
         gt_eval: Optional[Dict[str, jnp.ndarray]] = None,
     ):
+        images = device_normalize(
+            images, image_sizes, self.statics.pixel_mean,
+            self.statics.pixel_std, self.statics.to_bgr255,
+        )
         if train:
             return self.forward_train(
                 images, image_sizes, class_embeddings, targets,
@@ -528,6 +532,9 @@ class GeneralizedRCNN(nn.Module):
         (st_generalized_rcnn.py:264-272): returns [B, P, M2, M2] mask
         probabilities (cls-agnostic channel)."""
         s = self.statics
+        images = device_normalize(
+            images, image_sizes, s.pixel_mean, s.pixel_std, s.to_bgr255
+        )
         feats = self.backbone(images)
         x = self._extract_box_features(feats, boxes)
         mask_logits, _ = self.mask_predictor(x, compute_uncertain=False)

@@ -22,6 +22,7 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
+from ..backbone import device_normalize
 from ..language.bert import BertModel, WordEmbeddingBackbone, apply_mlm_masking
 from ..mmss.grounding_head import GroundingHead, GroundingStatics
 from ..mmss.transformer_head import TransformerHead, TransformerHeadStatics
@@ -205,6 +206,10 @@ class MMSSGridModel(nn.Module):
         train: bool = True,
     ):
         s = self.statics
+        images = device_normalize(
+            images, image_sizes, s.backbone.pixel_mean,
+            s.backbone.pixel_std, s.backbone.to_bgr255,
+        )
         feats = self.backbone(images)[0]
         region_features, region_mask, region_loc = grid_region_inputs(
             feats.astype(jnp.float32), image_sizes, images.shape[1:3]

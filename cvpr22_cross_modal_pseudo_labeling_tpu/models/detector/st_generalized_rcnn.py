@@ -43,7 +43,7 @@ import jax.numpy as jnp
 from ...core.box_coder import decode_boxes
 from ...core.boxes import clip_to_image
 from ...ops.masks import crop_resize_from_box_frame_batch
-from ..backbone import ResNetBackbone
+from ..backbone import ResNetBackbone, device_normalize
 from ..language.bert import WordEmbeddingBackbone
 from ..roi_heads.box_head import box_head_loss, postprocess_boxes, subsample_rois
 from ..roi_heads.bundle import RoIHeadsBundle
@@ -503,6 +503,9 @@ class STGeneralizedRCNN(nn.Module):
             raise ValueError("STGeneralizedRCNN training needs `batch`")
         s = self.statics
         sb = s.base
+        images = device_normalize(
+            images, image_sizes, sb.pixel_mean, sb.pixel_std, sb.to_bgr255
+        )
         feats = self.backbone(images)
         feats = [jax.lax.stop_gradient(f) for f in feats]  # frozen backbone
 

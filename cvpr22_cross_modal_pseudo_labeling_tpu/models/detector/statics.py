@@ -89,6 +89,12 @@ class RCNNStatics(NamedTuple):
     mask_pos_cap: int = 256
     # dtype name ("float32" | "bfloat16")
     compute_dtype: str = "float32"
+    # device-side normalization of uint8 image batches (INPUT.PIXEL_*,
+    # defaults.py:62-65; applied by models/backbone.py:device_normalize
+    # when the batch arrives as uint8)
+    pixel_mean: Tuple[float, ...] = (102.9801, 115.9465, 122.7717)
+    pixel_std: Tuple[float, ...] = (1.0, 1.0, 1.0)
+    to_bgr255: bool = True
 
 
 def statics_from_cfg(cfg, data_shards: int = 1) -> RCNNStatics:
@@ -162,4 +168,7 @@ def statics_from_cfg(cfg, data_shards: int = 1) -> RCNNStatics:
         nms_tile=cfg.TPU.NMS_TILE,
         mask_pos_cap=cfg.TPU.MASK_POS_CAP,
         compute_dtype=cfg.TPU.COMPUTE_DTYPE,
+        pixel_mean=tuple(cfg.INPUT.PIXEL_MEAN),
+        pixel_std=tuple(cfg.INPUT.PIXEL_STD),
+        to_bgr255=cfg.INPUT.TO_BGR255,
     )

@@ -21,6 +21,7 @@ from ...core.boxes import box_iou, clip_to_image
 from ...core.matcher import match_boxes
 from ...ops.losses import smooth_l1_loss
 from ...ops.nms import batched_nms
+from ..backbone import device_normalize
 from ...ops.sigmoid_focal_loss import sigmoid_focal_loss
 from ..roi_heads.box_head import Detections
 from .anchors import build_anchors_for_levels
@@ -45,6 +46,10 @@ class RetinaNetStatics(NamedTuple):
     inference_th: float = 0.05
     nms_th: float = 0.4
     detections_per_img: int = 100
+    # device-side uint8 normalization (models/backbone.py)
+    pixel_mean: Tuple[float, ...] = (102.9801, 115.9465, 122.7717)
+    pixel_std: Tuple[float, ...] = (1.0, 1.0, 1.0)
+    to_bgr255: bool = True
 
 
 def retinanet_statics_from_cfg(cfg) -> RetinaNetStatics:
@@ -68,6 +73,9 @@ def retinanet_statics_from_cfg(cfg) -> RetinaNetStatics:
         inference_th=r.INFERENCE_TH,
         nms_th=r.NMS_TH,
         detections_per_img=cfg.MODEL.ROI_HEADS.DETECTIONS_PER_IMG,
+        pixel_mean=tuple(cfg.INPUT.PIXEL_MEAN),
+        pixel_std=tuple(cfg.INPUT.PIXEL_STD),
+        to_bgr255=cfg.INPUT.TO_BGR255,
     )
 
 
@@ -267,6 +275,10 @@ class RetinaNet(nn.Module):
         )
 
     def __call__(self, images, image_sizes, targets=None, train=False):
+        s0 = self.statics
+        images = device_normalize(
+            images, image_sizes, s0.pixel_mean, s0.pixel_std, s0.to_bgr255
+        )
         feats = self.backbone(images)
         logits, reg = self.head(feats)
         anchor_list = self._anchors(feats)

@@ -31,6 +31,9 @@ def denormalize_image(
     to_bgr255: bool = True,
 ) -> np.ndarray:
     """Inverts the Caffe2 normalization back to uint8 RGB."""
+    if image.dtype == np.uint8:
+        # INPUT.DEVICE_NORMALIZE batches are raw RGB already
+        return image
     img = image + np.asarray(pixel_mean, np.float32)
     if to_bgr255:
         img = img[:, :, ::-1]

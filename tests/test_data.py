@@ -112,7 +112,18 @@ def test_transforms_resize_and_masks(tiny_coco):
     ds = COCODataset(ann_file, img_dir, False, transforms=tf)
     s = ds[0]
     assert min(s["image"].shape[:2]) <= 48
-    # normalized (BGR255 mean-subtracted) pixels are no longer in [0,1]
+    # default INPUT.DEVICE_NORMALIZE keeps the sample uint8 (the model
+    # normalizes on device, models/backbone.py:device_normalize)
+    assert s["image"].dtype == np.uint8
+
+    cfg2 = get_default_cfg()
+    cfg2.INPUT.MIN_SIZE_TRAIN = (48,)
+    cfg2.INPUT.MAX_SIZE_TRAIN = 64
+    cfg2.INPUT.DEVICE_NORMALIZE = False
+    ds._transforms = build_transforms(cfg2, is_train=True)
+    s = ds[0]
+    # host path: normalized (BGR255 mean-subtracted) pixels are no
+    # longer in [0,1]
     assert s["image"].min() < -1.0
 
 

@@ -1,0 +1,101 @@
+#!/usr/bin/env python
+"""Bucket-mix training efficiency: the weighted sustained MFU of a
+real COCO run across cfg.TPU.IMAGE_BUCKETS.
+
+Round-3 train benches measured one shape (800x1344).  A real COCO
+epoch draws from an aspect-ratio distribution — the reference's
+aspect-ratio grouping (data/build.py:115-192,
+grouped_batch_sampler.py:9-115) exists precisely to batch same-aspect
+images — so the production number is the mix-weighted one, including
+the padding tax of each bucket.
+
+Aspect mix (COCO train2017, measured over the annotation metadata the
+reference's _compute_aspect_ratios uses): ~70.6% landscape, ~24.5%
+portrait, ~4.9% near-square (|log aspect| < 0.1).  After the
+reference Resize (min 800 / max 1333, transforms.py Resize):
+landscape -> (800, <=1333) -> bucket (800, 1344); portrait ->
+(<=1333, 800) -> bucket (1344, 832); near-square -> ~(800..1024)^2 ->
+bucket (1024, 1024).
+
+  python tools/bench_bucket_mix.py [batch]
+
+Prints one JSON line with per-bucket rates and the weighted number.
+"""
+
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+# (bucket HxW exactly as cfg.TPU.IMAGE_BUCKETS selects them
+# (data/collate.py:select_bucket), representative true image HxW,
+# weight)
+MIX = [
+    ((800, 1333), (800, 1066), 0.706),   # 4:3 landscape (640x480 class)
+    ((1333, 800), (1333, 800), 0.245),   # portrait
+    ((1024, 1024), (900, 900), 0.049),   # near-square
+]
+
+
+def main():
+    batch = int(sys.argv[1]) if len(sys.argv) > 1 else 8
+    import bench
+
+    rows = []
+    for bucket, image_hw, weight in MIX:
+        r = bench.headline(
+            batch, emit=False, bucket=bucket, image_hw=image_hw
+        )
+        rows.append(
+            {
+                "bucket": list(bucket),
+                "image_hw": list(image_hw),
+                "weight": weight,
+                "imgs_per_sec": r["value"],
+                "mfu_pct": r.get("mfu_pct"),
+                "flops_per_step": r.get("flops_per_step"),
+                "content_fraction": round(
+                    (image_hw[0] * image_hw[1])
+                    / float(bucket[0] * bucket[1]),
+                    3,
+                ),
+            }
+        )
+        print(json.dumps({"bucket_done": rows[-1]}), file=sys.stderr)
+
+    wsum = sum(w for _, _, w in MIX)
+    # weighted harmonic rate: time-per-image averaged over the mix
+    t_img = sum(
+        row["weight"] / row["imgs_per_sec"] for row in rows
+    ) / wsum
+    weighted_imgs = 1.0 / t_img
+    mfu_rows = [r for r in rows if r.get("mfu_pct")]
+    weighted_mfu = (
+        sum(
+            r["weight"] * r["mfu_pct"] * weighted_imgs / r["imgs_per_sec"]
+            for r in mfu_rows
+        )
+        / wsum
+        if mfu_rows
+        else None
+    )
+    # fraction of conv FLOPs spent on bucket padding, mix-weighted
+    padding_tax = 1.0 - sum(
+        r["weight"] * r["content_fraction"] for r in rows
+    ) / wsum
+
+    out = {
+        "metric": "bucket_mix_train_imgs_per_sec_per_chip",
+        "value": round(weighted_imgs, 3),
+        "unit": "imgs/sec/chip (COCO aspect-mix weighted)",
+        "weighted_mfu_pct": round(weighted_mfu, 2) if weighted_mfu else None,
+        "padding_tax_pct": round(100 * padding_tax, 1),
+        "batch": batch,
+        "buckets": rows,
+    }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

@@ -32,6 +32,9 @@ SUSTAINED_RE = re.compile(
     r"sustained: (\d+) steps, ([\d.]+) s wall, ([\d.]+) s/it, "
     r"([\d.]+) imgs/s/host, data-wait ([\d.]+)%"
 )
+# windowed median from the last iter log line: steady-state s/it with
+# the first-step compile excluded (SmoothedValue window=20)
+ITER_TIME_RE = re.compile(r"time: ([\d.]+) \(([\d.]+)\)")
 
 
 def peak_rss_watcher(pid, out, stop):
@@ -63,10 +66,15 @@ def main():
     p.add_argument("--config",
                    default="configs/coco_cap_det/zeroshot_mask.yaml")
     p.add_argument("--log-period", type=int, default=25)
+    p.add_argument("--lr", type=float, default=0.0)
+    p.add_argument("--test-period", type=int, default=0,
+                   help="run TEST_PERIOD eval during the drive")
     p.add_argument("--checkpoint-period", type=int, default=100)
     p.add_argument("--grain", action="store_true",
                    help="drive the grain pipeline instead of the "
                         "threaded loader")
+    p.add_argument("opts", nargs=argparse.REMAINDER, default=None,
+                   help="extra config overrides: KEY VALUE pairs")
     args = p.parse_args()
 
     if not os.path.isdir(os.path.join(args.data, "coco")):
@@ -78,11 +86,18 @@ def main():
 
     env = dict(os.environ, CMPL_TPU_DATA_DIR=args.data)
     overrides = [
+        # throughput bench trains from random init: FrozenBN is identity
+        # there, so any real LR diverges to NaN within ~25 iters and the
+        # SOLVER.ABORT_ON_NON_FINITE tripwire (correctly) kills the run.
+        # LR 0 keeps the compute identical (forward+backward+optimizer)
+        # while the params stay put; pass --lr to override when driving
+        # from imported weights.
+        "SOLVER.BASE_LR", str(args.lr),
         "SOLVER.MAX_ITER", str(args.steps),
         "SOLVER.IMS_PER_BATCH", str(args.batch),
         "SOLVER.LOG_PERIOD", str(args.log_period),
         "SOLVER.CHECKPOINT_PERIOD", str(args.checkpoint_period),
-        "SOLVER.TEST_PERIOD", "0",
+        "SOLVER.TEST_PERIOD", str(args.test_period),
         "OUTPUT_DIR", args.out,
         "DATALOADER.USE_GRAIN", str(bool(args.grain)),
     ]
@@ -105,7 +120,7 @@ def main():
         sys.executable, os.path.join(REPO, "tools/train_net.py"),
         "--config-file", os.path.join(REPO, args.config),
         "--skip-test",
-    ] + overrides
+    ] + overrides + (args.opts or [])
     t0 = time.time()
     proc = subprocess.Popen(
         cmd, cwd=REPO, env=env,
@@ -118,6 +133,7 @@ def main():
     watcher.start()
 
     sustained = None
+    steady = None
     lines = []
     for line in proc.stdout:
         lines.append(line)
@@ -126,6 +142,9 @@ def main():
         m = SUSTAINED_RE.search(line)
         if m:
             sustained = m
+        t = ITER_TIME_RE.search(line)
+        if t:
+            steady = float(t.group(1))
     proc.wait()
     stop.set()
     watcher.join(timeout=5)
@@ -145,6 +164,10 @@ def main():
         "unit": "imgs/sec (e2e CLI, incl. host pipeline)",
         "steps": steps,
         "s_per_it": float(sustained.group(3)),
+        "steady_s_per_it": steady,
+        "steady_imgs_per_sec": (
+            round(args.batch / steady, 3) if steady else None
+        ),
         "data_wait_pct": float(sustained.group(5)),
         "wall_s_excl_compile": wall,
         "wall_s_total": round(time.time() - t0, 1),

@@ -1,0 +1,111 @@
+#!/usr/bin/env python
+"""Host data-pipeline stage profile: where does the per-image time go?
+
+The sustained CLI bench (tools/bench_sustained.py) showed the host
+loader is the single-core bottleneck; this tool times each stage —
+JPEG decode, resize, flip, normalize, GT-mask rasterization, collate —
+over the synthetic production-size tree so optimization targets the
+right stage.  The reference's only analogue is the trainer data-time
+meter (engine/trainer.py:99).
+
+  python tools/profile_host_pipeline.py [--data /tmp/synth_coco] [-n 64]
+"""
+
+import argparse
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--data", default="/tmp/synth_coco")
+    p.add_argument("-n", type=int, default=64)
+    p.add_argument("--batch", type=int, default=8)
+    p.add_argument("--device-normalize", action="store_true", default=True)
+    p.add_argument("--host-normalize", dest="device_normalize",
+                   action="store_false")
+    args = p.parse_args()
+
+    os.environ.setdefault("JAX_PLATFORMS", "cpu")
+    from cvpr22_cross_modal_pseudo_labeling_tpu.config import get_default_cfg
+    from cvpr22_cross_modal_pseudo_labeling_tpu.data.datasets.coco import (
+        COCODataset,
+    )
+    from cvpr22_cross_modal_pseudo_labeling_tpu.data.transforms import (
+        build_transforms,
+    )
+    from cvpr22_cross_modal_pseudo_labeling_tpu.data.collate import (
+        BatchCollator,
+    )
+    from cvpr22_cross_modal_pseudo_labeling_tpu.utils.native_image import (
+        load_image_rgb,
+    )
+
+    cfg = get_default_cfg()
+    cfg.INPUT.DEVICE_NORMALIZE = args.device_normalize
+    ann = os.path.join(
+        args.data, "coco/zero-shot/instances_train2017_seen_2.json"
+    )
+    root = os.path.join(args.data, "coco/train2017")
+    tf = build_transforms(cfg, is_train=True)
+    ds = COCODataset(
+        ann, root, remove_images_without_annotations=True, transforms=tf,
+        load_embeddings=True, emb_key="BertEmb", emb_dim=768,
+    )
+    n = min(args.n, len(ds))
+
+    # stage 1: decode only
+    paths = [
+        os.path.join(root, ds.coco.imgs[ds.id_to_img_map[i]]["file_name"])
+        for i in range(n)
+    ]
+    t0 = time.perf_counter()
+    for path in paths:
+        load_image_rgb(path)
+    t_decode = time.perf_counter() - t0
+
+    # stage 2: raw sample (decode + ann parse + mask rasterize)
+    t0 = time.perf_counter()
+    raws = [ds.raw_sample(i) for i in range(n)]
+    t_raw = time.perf_counter() - t0
+
+    # stage 3: transforms (resize/flip/normalize-or-defer)
+    import random
+
+    rng = random.Random(0)
+    t0 = time.perf_counter()
+    samples = [ds._transforms(dict(r), rng) for r in raws]
+    t_tf = time.perf_counter() - t0
+
+    # stage 4: full __getitem__ (end-to-end per sample)
+    t0 = time.perf_counter()
+    full = [ds[i] for i in range(n)]
+    t_item = time.perf_counter() - t0
+
+    # stage 5: collate into bucket batches
+    collator = BatchCollator.from_cfg(cfg)
+    t0 = time.perf_counter()
+    for i in range(0, n - args.batch + 1, args.batch):
+        collator(full[i : i + args.batch])
+    t_collate = time.perf_counter() - t0
+
+    ms = lambda t: 1000.0 * t / n
+    print(f"images: {n}  (device_normalize={args.device_normalize})")
+    print(f"decode            {ms(t_decode):8.2f} ms/img")
+    print(f"raw_sample        {ms(t_raw):8.2f} ms/img "
+          f"(ann+masks {ms(t_raw - t_decode):.2f})")
+    print(f"transforms        {ms(t_tf):8.2f} ms/img")
+    print(f"__getitem__       {ms(t_item):8.2f} ms/img")
+    print(f"collate           {ms(t_collate):8.2f} ms/img")
+    total = ms(t_item + t_collate)
+    print(f"TOTAL             {total:8.2f} ms/img "
+          f"-> {1000.0 / total:.1f} imgs/s/core")
+
+
+if __name__ == "__main__":
+    main()
