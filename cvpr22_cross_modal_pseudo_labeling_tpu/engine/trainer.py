@@ -93,6 +93,115 @@ def _place(local: np.ndarray, sharding, host_holds_full: bool = False):
     return jax.make_array_from_process_local_data(sharding, local)
 
 
+class DevicePrefetcher:
+    """Double-buffered HBM prefetch: places the NEXT batch onto the
+    mesh from a background thread while the current step runs.
+
+    Without this the hot loop serializes next(loader) -> device_put ->
+    step dispatch on the main thread; the host->HBM copy releases the
+    GIL, so overlapping it with decode/collate recovers most of the
+    transfer time even on a single host core (the sustained CLI bench
+    measured the placement serialized with the loader at 46% data-wait).
+    Queue depth 2 = one batch in flight on the wire + one ready, the
+    standard double buffer (SURVEY build plan: "double-buffered HBM
+    prefetch"; the reference's analogue is DataLoader worker prefetch,
+    data/build.py:177-180).
+    """
+
+    _SENTINEL = object()
+
+    def __init__(self, loader, mesh, extra_batch=None, depth: int = 2):
+        import queue
+        import threading
+
+        self._q = queue.Queue(maxsize=depth)
+        self._mesh = mesh
+        self._extra = extra_batch or {}
+        self._loader = loader
+        self._shardings = None
+        self._err = None
+        self._stop = threading.Event()
+        self._thread = threading.Thread(
+            target=self._run, name="device-prefetch", daemon=True
+        )
+        self._thread.start()
+
+    def _place_batch(self, batch):
+        if self._extra:
+            batch = {**batch, **self._extra}
+        if self._shardings is None:
+            self._shardings = batch_shardings(batch, self._mesh)
+        return {
+            k: _place(
+                np.asarray(v),
+                self._shardings[k],
+                host_holds_full=k in _HOST_FULL_KEYS,
+            )
+            for k, v in batch.items()
+            if isinstance(v, np.ndarray)
+        }
+
+    def _put(self, item) -> bool:
+        """Enqueue with stop-polling: the producer must never block
+        forever on a full queue if the consumer died without stop()."""
+        import queue
+
+        while not self._stop.is_set():
+            try:
+                self._q.put(item, timeout=0.5)
+                return True
+            except queue.Full:
+                continue
+        return False
+
+    def _run(self):
+        # checkpointable streams (grain): snapshot the position right
+        # after drawing each batch, so the state saved with iteration k
+        # resumes at batch k+1 even though the stream itself runs up to
+        # `depth` batches ahead of the consumer
+        get_state = getattr(self._loader, "get_state", None)
+        try:
+            for batch, _ in self._loader:
+                if self._stop.is_set():
+                    return
+                placed = self._place_batch(batch)
+                state = get_state() if get_state else None
+                if not self._put((placed, state)):
+                    return
+        except BaseException as e:  # surfaced on the consumer side
+            self._err = e
+        finally:
+            self._put(self._SENTINEL)
+
+    def __iter__(self):
+        return self
+
+    def __next__(self):
+        item = self._q.get()
+        if item is self._SENTINEL:
+            if self._err is not None:
+                raise self._err
+            raise StopIteration
+        placed, state = item
+        if state is not None:
+            self._last_state = state
+        return placed
+
+    def get_state(self):
+        """Stream position as of the last batch handed to the consumer
+        (None for non-checkpointable loaders)."""
+        return getattr(self, "_last_state", None)
+
+    def stop(self):
+        self._stop.set()
+        # drop queued batches so their device buffers free promptly
+        try:
+            while True:
+                self._q.get_nowait()
+        except Exception:
+            pass
+
+
 def do_train(
     step_fn: Callable,
     state,
@@ -136,24 +245,11 @@ def do_train(
             writer.close()
         return state
 
-    shardings = None
     iteration = start_iter
     last_finite_iter = start_iter
+    prefetcher = DevicePrefetcher(loader, mesh, extra_batch)
     end = time.perf_counter()
-    for batch, _ in loader:
-        if extra_batch:
-            batch = {**batch, **extra_batch}
-        if shardings is None:
-            shardings = batch_shardings(batch, mesh)
-        batch = {
-            k: _place(
-                np.asarray(v),
-                shardings[k],
-                host_holds_full=k in _HOST_FULL_KEYS,
-            )
-            for k, v in batch.items()
-            if isinstance(v, np.ndarray)
-        }
+    for batch in prefetcher:
         data_time = time.perf_counter() - end
 
         state, metrics = step_fn(state, batch)
@@ -209,6 +305,7 @@ def do_train(
                     discard_pending_checkpoint()
                 else:
                     flush_pending_checkpoint()
+                prefetcher.stop()
                 raise FloatingPointError(
                     f"non-finite total_loss at iteration {iteration}: "
                     f"{metrics}"
@@ -246,7 +343,7 @@ def do_train(
                     {"state": jax.device_get(state), "iteration": iteration},
                     iteration,
                     block=False,
-                    extras=_loader_state_extras(output_dir, loader),
+                    extras=_loader_state_extras(output_dir, prefetcher),
                 )
         if test_period and eval_fn and iteration % test_period == 0:
             eval_fn(state, iteration)
@@ -256,13 +353,14 @@ def do_train(
             # loader yields surplus batches (e.g. a stream restored at
             # an earlier position than the optimizer state)
             break
+    prefetcher.stop()
 
     if output_dir:
         save_checkpoint(
             output_dir,
             {"state": jax.device_get(state), "iteration": iteration},
             iteration,
-            extras=_loader_state_extras(output_dir, loader),
+            extras=_loader_state_extras(output_dir, prefetcher),
         )
         flush_pending_checkpoint()
     if writer:
@@ -305,7 +403,10 @@ def _loader_state_extras(output_dir: str, loader):
     import json
 
     try:
-        return {loader_state_path(output_dir): json.dumps(get_state())}
+        state = get_state()
+        if state is None:  # checkpointable stream, nothing consumed yet
+            return None
+        return {loader_state_path(output_dir): json.dumps(state)}
     except Exception as e:
         get_logger("trainer").warning("loader state not captured: %s", e)
         return None

@@ -55,44 +55,47 @@ def main():
     tf = build_transforms(cfg, is_train=True)
     ds = COCODataset(
         ann, root, remove_images_without_annotations=True, transforms=tf,
-        load_embeddings=True, emb_key="BertEmb", emb_dim=768,
     )
     n = min(args.n, len(ds))
 
-    # stage 1: decode only
-    paths = [
-        os.path.join(root, ds.coco.imgs[ds.id_to_img_map[i]]["file_name"])
-        for i in range(n)
-    ]
-    t0 = time.perf_counter()
-    for path in paths:
-        load_image_rgb(path)
-    t_decode = time.perf_counter() - t0
-
-    # stage 2: raw sample (decode + ann parse + mask rasterize)
-    t0 = time.perf_counter()
-    raws = [ds.raw_sample(i) for i in range(n)]
-    t_raw = time.perf_counter() - t0
-
-    # stage 3: transforms (resize/flip/normalize-or-defer)
+    # Per-image staging with only scalars retained: holding n float32
+    # production-size images (12.8 MB each) at once causes memory
+    # thrash that inflates the host-normalize numbers ~40x.
     import random
 
     rng = random.Random(0)
-    t0 = time.perf_counter()
-    samples = [ds._transforms(dict(r), rng) for r in raws]
-    t_tf = time.perf_counter() - t0
-
-    # stage 4: full __getitem__ (end-to-end per sample)
-    t0 = time.perf_counter()
-    full = [ds[i] for i in range(n)]
-    t_item = time.perf_counter() - t0
-
-    # stage 5: collate into bucket batches
     collator = BatchCollator.from_cfg(cfg)
-    t0 = time.perf_counter()
-    for i in range(0, n - args.batch + 1, args.batch):
-        collator(full[i : i + args.batch])
-    t_collate = time.perf_counter() - t0
+    t_decode = t_raw = t_tf = t_item = t_collate = 0.0
+    batch_buf = []
+    for i in range(n):
+        path = os.path.join(
+            root, ds.coco.imgs[ds.id_to_img_map[i]]["file_name"]
+        )
+        t0 = time.perf_counter()
+        load_image_rgb(path)
+        t_decode += time.perf_counter() - t0
+
+        # raw sample (decode + ann parse + mask rasterize)
+        t0 = time.perf_counter()
+        raw = ds.raw_sample(i)
+        t_raw += time.perf_counter() - t0
+
+        # transforms (resize/flip/normalize-or-defer)
+        t0 = time.perf_counter()
+        ds._transforms(dict(raw), rng)
+        t_tf += time.perf_counter() - t0
+        del raw
+
+        # full __getitem__ (end-to-end per sample)
+        t0 = time.perf_counter()
+        batch_buf.append(ds[i])
+        t_item += time.perf_counter() - t0
+
+        if len(batch_buf) == args.batch:
+            t0 = time.perf_counter()
+            collator(batch_buf)
+            t_collate += time.perf_counter() - t0
+            batch_buf = []
 
     ms = lambda t: 1000.0 * t / n
     print(f"images: {n}  (device_normalize={args.device_normalize})")

@@ -3,6 +3,7 @@
 ``--config-file X.yaml [--ckpt path] KEY VALUE ...``."""
 
 import argparse
+import json
 import os
 import sys
 
@@ -171,6 +172,16 @@ def main():
                 if isinstance(v, float) and "AP50_class" not in k
             },
         )
+        # machine-readable artifact next to predictions_{name}.json —
+        # tools/mint_baseline.py diffs these against the reference eval
+        with open(
+            os.path.join(cfg.OUTPUT_DIR, f"metrics_{name}.json"), "w"
+        ) as f:
+            json.dump(
+                {k: float(v) for k, v in metrics.items()
+                 if isinstance(v, (int, float))},
+                f, indent=1, sort_keys=True,
+            )
 
 
 if __name__ == "__main__":
