@@ -361,6 +361,17 @@ def main():
                 "st_distill",
                 ("value", "pseudo_masks_per_sec", "mfu_pct", "step_ms"),
             ),
+            # the PRODUCT number (VERDICT r3 item 1): the real
+            # tools/train_net.py CLI — JPEG decode -> transforms ->
+            # bucket collate -> uint8 HBM transfer -> step — sustained
+            # over 120 steps on a production-size synthetic COCO tree
+            (
+                [os.path.join(here, "tools", "bench_sustained.py"),
+                 "--steps", "120", "--data", "/tmp/synth_coco"],
+                "sustained_cli",
+                ("value", "steady_imgs_per_sec", "data_wait_pct",
+                 "peak_host_rss_gb"),
+            ),
         ):
             if backend_dead:
                 # a prior secondary hit the stale-lease error class —

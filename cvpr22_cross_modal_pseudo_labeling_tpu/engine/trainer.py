@@ -248,11 +248,23 @@ def do_train(
     iteration = start_iter
     last_finite_iter = start_iter
     prefetcher = DevicePrefetcher(loader, mesh, extra_batch)
+    # Bounded pipelining: with the prefetcher feeding ready batches, an
+    # unthrottled loop dispatches arbitrarily far ahead of the device —
+    # measured on the tunnel-attached chip, the run-ahead backlog
+    # degraded 0.36 s/it to ~1.1 s/it within ~100 iterations.  Keeping
+    # <= 2 steps in flight (classic double buffering) pins the loop to
+    # the device rate without adding a sync point on the critical path.
+    from collections import deque
+
+    inflight = deque()
     end = time.perf_counter()
     for batch in prefetcher:
         data_time = time.perf_counter() - end
 
         state, metrics = step_fn(state, batch)
+        inflight.append(metrics)
+        if len(inflight) > 2:
+            jax.block_until_ready(inflight.popleft())
         iteration += 1
 
         # per-step wall/data meters every iteration (reference

@@ -36,6 +36,7 @@ SLOW_MODULES = {
     "test_st_model",
     "test_fpn_path",
     "test_inference_pipeline",
+    "test_golden_pins",
     "test_retinanet",
     "test_keypoint_wsddn",
     "test_dcn_backbone",

@@ -134,3 +134,37 @@ def test_cli_resume_trains_exact_step_budget(tmp_path):
     assert proc.returncode == 0, out
     assert "loaded orbax checkpoint" in out
     assert "eval[" in out
+
+
+@pytest.mark.skipif(
+    not os.path.exists(os.path.join(ASSETS, "gen_coco.py")),
+    reason="verify assets missing",
+)
+def test_cli_resume_grain_stream_position(tmp_path):
+    """Same CLI drive through the grain pipeline
+    (DATALOADER.USE_GRAIN True): the checkpoint carries the stream
+    position (staged with the save by the DevicePrefetcher snapshot, so
+    it reflects the CONSUMED batch, not the prefetch-ahead one) and the
+    resumed run restores it instead of start_iter fast-forwarding."""
+    env = _cli_env()
+    subprocess.run(
+        [sys.executable, os.path.join(ASSETS, "gen_coco.py")],
+        check=True, env=env,
+    )
+    out_dir = str(tmp_path / "out")
+    grain = ("DATALOADER.USE_GRAIN", "True")
+
+    _run_train(out_dir, max_iter=1, env=env, extra_opts=grain)
+    assert _logged_steps(out_dir) == [1]
+    # the published checkpoint staged the post-batch-1 stream position
+    assert os.path.exists(os.path.join(out_dir, "loader_state.json"))
+    with open(os.path.join(out_dir, "loader_state.json")) as f:
+        state1 = json.load(f)
+
+    log = _run_train(out_dir, max_iter=3, env=env, extra_opts=grain)
+    assert "data stream resumed from loader_state.json" in log
+    assert _logged_steps(out_dir) == [1, 2, 3]
+    with open(os.path.join(out_dir, "loader_state.json")) as f:
+        state3 = json.load(f)
+    # the stream advanced exactly 2 more batches between publishes
+    assert state1 != state3
