@@ -99,7 +99,12 @@ _C.DATALOADER.SIZE_DIVISIBILITY = 0
 _C.DATALOADER.ASPECT_RATIO_GROUPING = True
 _C.DATALOADER.DROP_LAST = False
 # grain-based pipeline (deterministic shuffle/shard + checkpointable
-# iterator state); False = thread-pool PrefetchingLoader
+# iterator state); False = thread-pool PrefetchingLoader.  The threaded
+# loader is the production default: it resumes via the reference's own
+# start_iter semantics with no per-record pipeline overhead; flip to
+# True for bitwise-reproducible, mid-epoch-resumable input streams
+# (docs/design.md section 9 has the full trade-off; both paths are
+# CLI-resume-tested in tests/test_cli_resume.py)
 _C.DATALOADER.USE_GRAIN = False
 _C.DATALOADER.GRAIN_SEED = 0
 
@@ -416,6 +421,11 @@ _C.TPU.MASK_POS_CAP = 256
 # pool only the bins a stride_in_1x1 stride-2 C5 head actually reads
 # (even 7x7 of the 14x14 grid) — bit-identical, 4x less pooling work
 _C.TPU.POOL_PRESTRIDE = True
+# exact space-to-depth stem rewrite (7x7/s2 conv -> 4x4/s1 on a 2x2
+# space-to-depth input, models/resnet.py:s2d_stem_kernel): same
+# function and param tree, better MXU utilization when FREEZE_AT=0
+# puts the stem backward on the clock (MMSS)
+_C.TPU.S2D_STEM = False
 
 
 def get_default_cfg() -> CN:

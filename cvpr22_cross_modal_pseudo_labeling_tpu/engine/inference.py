@@ -10,7 +10,7 @@ the pickle all_gather (utils/comm.py:48-88), then the evaluator runs.
 
 import os
 import time
-from typing import Dict, List, Optional
+from typing import Dict, List, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -133,6 +133,7 @@ def compute_on_dataset(
     futures = []
     results: List[dict] = []
     timer = Timer()
+    batch_times: List[Tuple[float, int]] = []  # (seconds, images)
     wall_start = time.perf_counter()
     n_images = 0
     workers = min(8, os.cpu_count() or 1)
@@ -162,6 +163,9 @@ def compute_on_dataset(
                 else None
             )
             timer.toc()
+            batch_times.append(
+                (timer.diff, int(batch["images"].shape[0]))
+            )
             futures.append(
                 pool.submit(
                     convert_batch,
@@ -182,15 +186,26 @@ def compute_on_dataset(
     if n_images:
         # split mirrors reference engine/inference.py:136-156 (total vs
         # model time): `device` is forward+device_get; the e2e line adds
-        # host decode/collate and paste/RLE conversion overlap
+        # host decode/collate and paste/RLE conversion overlap.  The
+        # `steady` figures drop the first batch (it carries the XLA
+        # compile of the eval program on a cold cache).
         wall = time.perf_counter() - wall_start
+        steady_s = sum(t for t, _ in batch_times[1:])
+        steady_n = sum(n for _, n in batch_times[1:])
+        compile_s = batch_times[0][0] if batch_times else 0.0
+        steady_wall = max(wall - compile_s, 1e-9)
         logger.info(
-            "inference: %d images, %.4f s/img device, %.4f s/img e2e "
-            "(%.2f imgs/s e2e; device busy %.0f%%)",
+            "inference: %d images, %.4f s/img device "
+            "(steady %.4f excl. first-batch %.1f s), %.4f s/img e2e "
+            "(%.2f imgs/s e2e; steady %.2f imgs/s; device busy %.0f%%)",
             n_images,
             timer.total_time / n_images,
+            steady_s / max(steady_n, 1),
+            compile_s,
             wall / n_images,
             n_images / wall,
+            max(n_images - (batch_times[0][1] if batch_times else 0), 0)
+            / steady_wall,
             100.0 * timer.total_time / wall,
         )
     return results

@@ -72,6 +72,7 @@ class ResNetBackbone(nn.Module):
     norm: str = "frozen_bn"
     freeze_at: int = 0
     dtype: Any = jnp.float32
+    s2d_stem: bool = False
 
     @nn.compact
     def __call__(self, x):
@@ -91,6 +92,7 @@ class ResNetBackbone(nn.Module):
             with_modulated_dcn=self.with_modulated_dcn,
             norm=self.norm,
             dtype=self.dtype,
+            s2d_stem=self.s2d_stem,
             name="body",
         )(x)
         return [feats[ret]]
@@ -113,6 +115,7 @@ class ResNetFPNBackbone(nn.Module):
     width_per_group: int = 64
     stride_in_1x1: bool = True
     dtype: Any = jnp.float32
+    s2d_stem: bool = False
 
     @nn.compact
     def __call__(self, x):
@@ -129,6 +132,7 @@ class ResNetFPNBackbone(nn.Module):
             with_modulated_dcn=self.with_modulated_dcn,
             norm=self.norm,
             dtype=self.dtype,
+            s2d_stem=self.s2d_stem,
             name="body",
         )(x)
         feats = [feats[k] for k in ("C2", "C3", "C4", "C5")]
@@ -168,6 +172,7 @@ def build_backbone(cfg, dtype=jnp.float32) -> Tuple[nn.Module, dict]:
         norm="gn" if "GN" in r.TRANS_FUNC else "frozen_bn",
         freeze_at=cfg.MODEL.BACKBONE.FREEZE_CONV_BODY_AT,
         dtype=dtype,
+        s2d_stem=cfg.TPU.S2D_STEM,
     )
     if body.endswith("-C4"):
         depth = body[: -len("-C4")]

@@ -163,6 +163,7 @@ class MMSSGridModel(nn.Module):
             width_per_group=bs.width_per_group,
             stride_in_1x1=bs.stride_in_1x1,
             res5_dilation=bs.res5_dilation,
+            s2d_stem=bs.s2d_stem,
             dtype=dtype,
         )
         if s.lb_type == "WordEmbedding" or "TransformerHead" not in s.heads:

@@ -172,6 +172,7 @@ class STGeneralizedRCNN(nn.Module):
             num_groups=s.num_groups,
             width_per_group=s.width_per_group,
             stride_in_1x1=s.stride_in_1x1,
+            s2d_stem=s.s2d_stem,
             dtype=dtype,
         )
         if s.conv_body.endswith("-FPN"):

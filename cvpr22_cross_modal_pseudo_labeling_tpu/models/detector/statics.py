@@ -15,6 +15,8 @@ class RCNNStatics(NamedTuple):
     width_per_group: int = 64
     stride_in_1x1: bool = True
     res5_dilation: int = 1
+    # TPU.S2D_STEM: exact space-to-depth stem rewrite (resnet.py)
+    s2d_stem: bool = False
     backbone_out_channels: int = 1024
     feature_strides: Tuple[int, ...] = (16,)
     # rpn
@@ -107,6 +109,7 @@ def statics_from_cfg(cfg, data_shards: int = 1) -> RCNNStatics:
         width_per_group=m.RESNETS.WIDTH_PER_GROUP,
         stride_in_1x1=m.RESNETS.STRIDE_IN_1X1,
         res5_dilation=m.RESNETS.RES5_DILATION,
+        s2d_stem=cfg.TPU.S2D_STEM,
         backbone_out_channels=(
             m.RESNETS.RES2_OUT_CHANNELS * 4
             if m.BACKBONE.CONV_BODY.endswith("-C4")

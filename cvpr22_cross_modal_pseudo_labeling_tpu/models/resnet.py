@@ -161,25 +161,97 @@ class Bottleneck(nn.Module):
         return nn.relu(out + identity)
 
 
+def s2d_stem_kernel(w7: jnp.ndarray) -> jnp.ndarray:
+    """Remaps the 7x7/stride-2 stem kernel [7, 7, C, O] to the
+    equivalent 4x4/stride-1 kernel [4, 4, 4C, O] over a 2x2
+    space-to-depth input.
+
+    Math: out[h', w'] = sum_{i,j} W7[i,j] * x[2h'+i-3, 2w'+j-3].  With
+    y[u, v, (du, dv, c)] = x[2u+du, 2v+dv, c], each tap (i, j) lands at
+    exactly one (a, b, du, dv): rows with i odd come from du=0 at
+    a=(i+1)/2, i even from du=1 at a=i/2 (same for j/b/dv), giving a
+    4x4 window with padding (2, 1).  Exact — same taps, same weights
+    (the classic MLPerf-ResNet TPU stem rewrite): the 3-channel conv
+    that filled 3/128 of the MXU's reduction lanes becomes a 12-channel
+    one at 1/4 the spatial size, which matters when FREEZE_AT=0 puts
+    the stem's backward on the clock (MMSS)."""
+    k1, k2, cin, cout = w7.shape
+    assert (k1, k2) == (7, 7), w7.shape
+    w4 = jnp.zeros((4, 4, 4 * cin, cout), w7.dtype)
+    for i in range(7):
+        du, a = (0, (i + 1) // 2) if i % 2 == 1 else (1, i // 2)
+        for j in range(7):
+            dv, b = (0, (j + 1) // 2) if j % 2 == 1 else (1, j // 2)
+            ch0 = (du * 2 + dv) * cin
+            w4 = w4.at[a, b, ch0 : ch0 + cin, :].set(w7[i, j])
+    return w4
+
+
+def space_to_depth(x: jnp.ndarray) -> jnp.ndarray:
+    """[B, H, W, C] -> [B, H/2, W/2, 4C], channel index (du, dv, c)."""
+    b, h, w, c = x.shape
+    x = x.reshape(b, h // 2, 2, w // 2, 2, c)
+    x = x.transpose(0, 1, 3, 2, 4, 5)
+    return x.reshape(b, h // 2, w // 2, 4 * c)
+
+
+class _StemKernel(nn.Module):
+    """Bare kernel holder so the s2d path creates the SAME param
+    (stem/conv1/kernel, lecun_normal — nn.Conv's default) as the
+    canonical 7x7 conv branch."""
+
+    shape: Tuple[int, ...]
+
+    @nn.compact
+    def __call__(self):
+        return self.param(
+            "kernel", nn.initializers.lecun_normal(), self.shape,
+            jnp.float32,
+        )
+
+
 class Stem(nn.Module):
     """StemWithFixedBatchNorm / StemWithGN (resnet.py:383-404): 7x7/2
-    conv + norm + relu + 3x3/2 maxpool."""
+    conv + norm + relu + 3x3/2 maxpool.
+
+    ``s2d``: compute the identical function as a 4x4/stride-1 conv on a
+    2x2 space-to-depth input (TPU.S2D_STEM).  The parameter tree is
+    unchanged — the 7x7 kernel is remapped in-graph by
+    :func:`s2d_stem_kernel`, so checkpoints/imports are oblivious and
+    gradients flow back to the canonical layout."""
 
     out_channels: int = 64
     norm: str = "frozen_bn"
     dtype: Any = jnp.float32
+    s2d: bool = False
 
     @nn.compact
     def __call__(self, x):
-        x = nn.Conv(
-            self.out_channels,
-            (7, 7),
-            strides=(2, 2),
-            padding=((3, 3), (3, 3)),
-            use_bias=False,
-            dtype=self.dtype,
-            name="conv1",
-        )(x)
+        use_s2d = (
+            self.s2d and x.shape[1] % 2 == 0 and x.shape[2] % 2 == 0
+        )
+        if use_s2d:
+            w7 = _StemKernel(
+                (7, 7, x.shape[-1], self.out_channels), name="conv1"
+            )()
+            w4 = s2d_stem_kernel(w7.astype(self.dtype))
+            y = space_to_depth(x).astype(self.dtype)
+            x = jax.lax.conv_general_dilated(
+                y, w4,
+                window_strides=(1, 1),
+                padding=((2, 1), (2, 1)),
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            )
+        else:
+            x = nn.Conv(
+                self.out_channels,
+                (7, 7),
+                strides=(2, 2),
+                padding=((3, 3), (3, 3)),
+                use_bias=False,
+                dtype=self.dtype,
+                name="conv1",
+            )(x)
         if self.norm == "gn":
             x = nn.GroupNorm(num_groups=32, epsilon=1e-5, name="bn1")(x)
         else:
@@ -258,11 +330,14 @@ class ResNet(nn.Module):
     # gradients at the largest spatial resolutions).
     freeze_at: int = 0
     dtype: Any = jnp.float32
+    # TPU.S2D_STEM: space-to-depth stem rewrite (exact; s2d_stem_kernel)
+    s2d_stem: bool = False
 
     @nn.compact
     def __call__(self, x) -> Dict[str, jnp.ndarray]:
         x = Stem(
-            self.stem_out_channels, self.norm, self.dtype, name="stem"
+            self.stem_out_channels, self.norm, self.dtype,
+            s2d=self.s2d_stem, name="stem"
         )(x)
         if self.freeze_at > 0:
             x = jax.lax.stop_gradient(x)

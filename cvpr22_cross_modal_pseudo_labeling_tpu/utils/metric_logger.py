@@ -62,6 +62,7 @@ class Timer:
     def reset(self):
         self.total_time = 0.0
         self.calls = 0
+        self.diff = 0.0  # last tic->toc interval
         self._start = None
 
     def tic(self):
@@ -69,7 +70,8 @@ class Timer:
 
     def toc(self):
         if self._start is not None:
-            self.total_time += time.perf_counter() - self._start
+            self.diff = time.perf_counter() - self._start
+            self.total_time += self.diff
             self.calls += 1
             self._start = None
 

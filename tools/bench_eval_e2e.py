@@ -31,8 +31,11 @@ import time
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 INFER_RE = re.compile(
-    r"inference: (\d+) images, ([\d.]+) s/img device, ([\d.]+) s/img e2e "
-    r"\(([\d.]+) imgs/s e2e; device busy (\d+)%\)"
+    r"inference: (\d+) images, ([\d.]+) s/img device "
+    r"\(steady ([\d.]+) excl. first-batch ([\d.]+) s\), "
+    r"([\d.]+) s/img e2e "
+    r"\(([\d.]+) imgs/s e2e; steady ([\d.]+) imgs/s; "
+    r"device busy (\d+)%\)"
 )
 EVAL_RE = re.compile(r"'total_eval_seconds': ([\d.]+)")
 
@@ -102,12 +105,15 @@ def main():
 
     result = {
         "metric": "eval_e2e_imgs_per_sec",
-        "value": float(m.group(4)),
+        "value": float(m.group(7)),
         "unit": "imgs/sec (test_net e2e: decode+forward+paste+RLE)",
         "images": int(m.group(1)),
         "s_per_img_device": float(m.group(2)),
-        "s_per_img_e2e": float(m.group(3)),
-        "device_busy_pct": float(m.group(5)),
+        "s_per_img_device_steady": float(m.group(3)),
+        "first_batch_compile_s": float(m.group(4)),
+        "s_per_img_e2e": float(m.group(5)),
+        "imgs_per_sec_incl_compile": float(m.group(6)),
+        "device_busy_pct": float(m.group(8)),
         "coco_eval_seconds": ev,
         "wall_s_total": round(time.time() - t0, 1),
         "batch": args.batch,

@@ -36,6 +36,9 @@ def build(cfg_overrides=None, mmm=False):
     from cvpr22_cross_modal_pseudo_labeling_tpu.config import get_default_cfg
 
     cfg = get_default_cfg()
+    # TPU.S2D_STEM experiment (VERDICT r3 item 9): BENCH_MMSS_S2D=1
+    if os.environ.get("BENCH_MMSS_S2D") == "1":
+        cfg.TPU.S2D_STEM = True
     cfg.MODEL.META_ARCHITECTURE = "MMSS-GCNN"
     cfg.MODEL.BACKBONE.CONV_BODY = "R-50-C5"
     cfg.MODEL.BACKBONE.FREEZE_CONV_BODY_AT = 0
