@@ -97,6 +97,13 @@ _C.DATALOADER = CN()
 _C.DATALOADER.NUM_WORKERS = 4
 _C.DATALOADER.SIZE_DIVISIBILITY = 0
 _C.DATALOADER.ASPECT_RATIO_GROUPING = True
+# Group train batches by TARGET IMAGE BUCKET (finer than the
+# reference's binary portrait/landscape _quantize([1]) grouping,
+# data/build.py:71-113): batches become bucket-homogeneous so per-batch
+# padding is the image's own bucket, not the widest member's.  Falls
+# back to binary aspect grouping when off or when TPU.IMAGE_BUCKETS is
+# empty.  (TPU-added key.)
+_C.DATALOADER.GROUP_BY_BUCKET = True
 _C.DATALOADER.DROP_LAST = False
 # grain-based pipeline (deterministic shuffle/shard + checkpointable
 # iterator state); False = thread-pool PrefetchingLoader.  The threaded
@@ -276,6 +283,22 @@ _C.MODEL.ROI_MASK_HEAD.POSTPROCESS_MASKS = False
 _C.MODEL.ROI_MASK_HEAD.POSTPROCESS_MASKS_THRESHOLD = 0.5
 _C.MODEL.ROI_MASK_HEAD.DILATION = 1
 _C.MODEL.ROI_MASK_HEAD.USE_GN = False
+# Uncertainty estimator for the reparameterized mask loss (TPU-added
+# keys; the reference hardcodes n_samples=1 sampled-BCE,
+# roi_mask_predictors.py:47, mask_head/loss.py:117-123):
+#   "sampled_bce" — mean BCE over sampled logits mu + eps*sigma
+#     (reference parity).  By Jensen this penalizes sigma everywhere
+#     (E[BCE(mu+eps*sigma)] >= BCE(mu)), so the learned sigma SHRINKS
+#     fastest at ambiguous/noisy pixels — measured in
+#     tools/ablate_st.py; the adaptive weight 0.01/avg_uncertain then
+#     behaves as a rising anneal, not per-batch noise discrimination.
+#   "logmeanexp" — Kendall & Gal loss attenuation,
+#     -log((1/T) sum_t exp(-BCE_t)): lucky samples dominate the inner
+#     mean, so sigma GROWS at confidently-contradicted (noisy-label)
+#     pixels, realizing the paper's described behavior.  Identical to
+#     "sampled_bce" at UNCERTAINTY_SAMPLES=1.
+_C.MODEL.ROI_MASK_HEAD.UNCERTAINTY_ESTIMATOR = "sampled_bce"
+_C.MODEL.ROI_MASK_HEAD.UNCERTAINTY_SAMPLES = 1
 
 _C.MODEL.ROI_KEYPOINT_HEAD = CN()
 _C.MODEL.ROI_KEYPOINT_HEAD.FEATURE_EXTRACTOR = "KeypointRCNNFeatureExtractor"
@@ -408,7 +431,22 @@ _C.TPU.MAX_CAP_NOUNS = 32
 _C.TPU.COMPUTE_DTYPE = "float32"
 # Image padding buckets (H, W) used by the host pipeline; every batch is
 # padded to one of these so at most len(buckets) programs are compiled.
-_C.TPU.IMAGE_BUCKETS = ((800, 1333), (1333, 800), (1024, 1024))
+# Static padded batch shapes.  A LADDER of rungs per orientation:
+# 4:3-class images (the bulk of COCO) land on the 1088 rungs, 3:2/16:9
+# on 1216, panoramic on 1333 — with DATALOADER.GROUP_BY_BUCKET batches
+# are bucket-homogeneous, so the measured 15.2% padding tax of the
+# 3-bucket set (BENCH_NOTES round4_bucket_mix) collapses to ~2-4%.
+# Unused rungs never compile (XLA compiles per encountered shape);
+# each used rung costs one compile, cached persistently.
+_C.TPU.IMAGE_BUCKETS = (
+    (800, 1088),
+    (800, 1216),
+    (800, 1333),
+    (1088, 800),
+    (1216, 800),
+    (1333, 800),
+    (1024, 1024),
+)
 # Device mesh axis names/sizes; data parallel by default ("-1" = all devices).
 _C.TPU.MESH_AXES = ("data",)
 _C.TPU.MESH_SHAPE = (-1,)

@@ -31,6 +31,7 @@ from .samplers import (
     GroupedBatchSampler,
     IterationBasedBatchSampler,
     compute_aspect_ratio_groups,
+    compute_bucket_groups,
 )
 from .transforms import build_transforms
 
@@ -270,7 +271,23 @@ def make_data_loader(
             pad=is_train,
         )
         if cfg.DATALOADER.ASPECT_RATIO_GROUPING and is_train:
-            groups = compute_aspect_ratio_groups(ds)
+            if cfg.DATALOADER.GROUP_BY_BUCKET and cfg.TPU.IMAGE_BUCKETS:
+                # bucket-homogeneous batches: minimal padding per batch
+                groups = compute_bucket_groups(
+                    ds,
+                    cfg.TPU.IMAGE_BUCKETS,
+                    min_size=(
+                        cfg.INPUT.MIN_SIZE_TRAIN[0]
+                        if isinstance(
+                            cfg.INPUT.MIN_SIZE_TRAIN, (tuple, list)
+                        )
+                        else cfg.INPUT.MIN_SIZE_TRAIN
+                    ),
+                    max_size=cfg.INPUT.MAX_SIZE_TRAIN,
+                    size_divisible=max(cfg.DATALOADER.SIZE_DIVISIBILITY, 64),
+                )
+            else:
+                groups = compute_aspect_ratio_groups(ds)
             batch_sampler = GroupedBatchSampler(
                 sampler, groups, per_host, drop_last=cfg.DATALOADER.DROP_LAST
             )

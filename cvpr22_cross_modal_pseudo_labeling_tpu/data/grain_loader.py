@@ -17,8 +17,12 @@ data/build.py:115-192):
 
 Repeat-factor oversampling (LVIS/OpenImages category rebalancing,
 reference data/samplers/repeat_factors.py) is applied by expanding the
-index space before sharding.  Aspect-ratio grouping is unnecessary
-here: the TPU collator pads to static buckets either way.
+index space before sharding.  Aspect-ratio/bucket grouping is NOT
+applied here: it would reorder samples and break the "resume is a
+slice" property above.  The collator still pads correctly, but a mixed
+batch rides the largest member's bucket — the threaded loader (the
+throughput default, docs/design.md §9) groups by target bucket
+(DATALOADER.GROUP_BY_BUCKET) and pays minimal padding instead.
 """
 
 import math

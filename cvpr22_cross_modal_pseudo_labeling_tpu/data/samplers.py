@@ -154,3 +154,45 @@ def compute_aspect_ratio_groups(dataset) -> List[int]:
         h, w = info.get("height", 0), info.get("width", 1)
         groups.append(1 if h and w and h / max(w, 1) >= 1 else 0)
     return groups
+
+
+def compute_bucket_groups(
+    dataset,
+    buckets,
+    min_size: int,
+    max_size: int,
+    size_divisible: int = 64,
+) -> List[int]:
+    """Group id = which TPU image bucket the image's resized shape
+    selects (data/collate.py:select_bucket), so GroupedBatchSampler
+    emits bucket-homogeneous batches and per-batch padding is minimal.
+
+    This generalizes the reference's binary aspect grouping
+    (data/build.py:71-113 _quantize([1])): Resize keeps aspect, so
+    every bucket class is a (finer) aspect class, and the per-batch
+    padding tax drops from the widest-member bucket to the image's own
+    bucket.  Extra buckets cost nothing until a batch actually lands
+    on them (XLA compiles per encountered shape).
+
+    ``min_size`` is the canonical (first) INPUT.MIN_SIZE_TRAIN; with
+    multi-scale training the runtime bucket can differ per draw — the
+    collator still pads whatever arrives correctly, grouping is only a
+    batching heuristic.
+    """
+    from .collate import select_bucket
+    from .transforms import get_resize_hw
+
+    bucket_ids = {tuple(b): i for i, b in enumerate(buckets)}
+    groups = []
+    for i in range(len(dataset)):
+        info = dataset.get_img_info(i)
+        h, w = info.get("height", 0), info.get("width", 1)
+        if not (h and w):
+            groups.append(len(bucket_ids))
+            continue
+        nh, nw = get_resize_hw((h, w), min_size, max_size)
+        sel = select_bucket(nh, nw, buckets, size_divisible)
+        # images larger than every bucket fall into a shared overflow
+        # group (select_bucket's divisible-pad fallback shape)
+        groups.append(bucket_ids.get(tuple(sel), len(bucket_ids)))
+    return groups

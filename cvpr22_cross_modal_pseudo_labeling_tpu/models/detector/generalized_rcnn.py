@@ -354,6 +354,7 @@ class GeneralizedRCNN(nn.Module):
                 x_mask,
                 compute_uncertain=compute_uncertain,
                 train=True,
+                num_samples=getattr(s, "uncertainty_samples", 1),
             )
             losses["loss_mask"] = mask_head_loss(
                 mask_logits.astype(jnp.float32),
@@ -361,6 +362,7 @@ class GeneralizedRCNN(nn.Module):
                 targets["gt_masks"],
                 gt_boxes,
                 cls_agnostic_mask=s.cls_agnostic_mask,
+                estimator=getattr(s, "uncertainty_estimator", "sampled_bce"),
             )
             if scale is not None:
                 pos = (sampled.is_pos & sampled.valid).reshape(-1)

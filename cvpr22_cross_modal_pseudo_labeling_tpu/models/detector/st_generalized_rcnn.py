@@ -473,6 +473,7 @@ class STGeneralizedRCNN(nn.Module):
                 gt_masks,
                 gt_mask_boxes,
                 cls_agnostic_mask=sb.cls_agnostic_mask,
+                estimator=sb.uncertainty_estimator,
             )
             if scale is not None:
                 pos = (

@@ -74,6 +74,11 @@ class RCNNStatics(NamedTuple):
     mask_resolution: int = 14
     cls_agnostic_mask: bool = True
     uncertainty: bool = False
+    # reparameterized-loss estimator ("sampled_bce" reference parity |
+    # "logmeanexp" Kendall-Gal attenuation) and sample count; the
+    # reference hardcodes 1 sample (roi_mask_predictors.py:47)
+    uncertainty_estimator: str = "sampled_bce"
+    uncertainty_samples: int = 1
     mask_dim_reduced: int = 256
     # keypoint head (MODEL.KEYPOINT_ON, reference roi_heads.py:57-62)
     keypoint_on: bool = False
@@ -166,6 +171,8 @@ def statics_from_cfg(cfg, data_shards: int = 1) -> RCNNStatics:
         mask_resolution=m.ROI_MASK_HEAD.RESOLUTION,
         cls_agnostic_mask=m.CLS_AGNOSTIC_MASK,
         uncertainty=m.UNCERTAINTY,
+        uncertainty_estimator=m.ROI_MASK_HEAD.UNCERTAINTY_ESTIMATOR,
+        uncertainty_samples=m.ROI_MASK_HEAD.UNCERTAINTY_SAMPLES,
         mask_dim_reduced=m.ROI_MASK_HEAD.CONV_LAYERS[-1],
         max_gt=cfg.TPU.MAX_GT,
         nms_tile=cfg.TPU.NMS_TILE,

@@ -72,5 +72,8 @@ class RoIHeadsBundle(nn.Module):
 
     def mask_outputs(self, x, compute_uncertain=False, train=False):
         return self.mask_predictor(
-            x, compute_uncertain=compute_uncertain, train=train
+            x,
+            compute_uncertain=compute_uncertain,
+            train=train,
+            num_samples=getattr(self.statics, "uncertainty_samples", 1),
         )

@@ -100,14 +100,24 @@ def mask_head_loss(
     gt_boxes: jnp.ndarray,
     cls_agnostic_mask: bool = True,
     loss_weight: Optional[jnp.ndarray] = None,
+    estimator: str = "sampled_bce",
 ) -> jnp.ndarray:
     """mask_logits [B*S, M, M, C] (or with a leading samples dim);
     gt_masks [B, G, Mr, Mr] rasterized over gt_boxes [B, G, 4].
 
     Returns scalar BCE mean over positive-roi mask pixels
-    (mask_head/loss.py:125-143), averaged over the sample dim when the
-    reparameterized logits carry one (the reference's repeat_factor
-    flattening, loss.py:117-123).
+    (mask_head/loss.py:125-143).  The sample dim of reparameterized
+    logits collapses per ``estimator``:
+
+    * ``"sampled_bce"`` — mean over samples (the reference's
+      repeat_factor flattening, loss.py:117-123).  Jensen: this bounds
+      the deterministic BCE from below only at sigma=0, so training
+      pressure on sigma is monotone DOWN.
+    * ``"logmeanexp"`` — Kendall & Gal loss attenuation,
+      -log((1/n_s) sum_t exp(-bce_t)) per pixel: one lucky sample
+      caps the loss of a confidently-contradicted pixel, so sigma is
+      rewarded exactly where the target disagrees with a confident
+      prediction.  Equal to "sampled_bce" when n_s == 1.
     """
     has_samples = mask_logits.ndim == 5
     if not has_samples:
@@ -137,6 +147,16 @@ def mask_head_loss(
     per_pix = binary_cross_entropy_with_logits(
         logits_sel, targets[None]
     )  # [n_s, N, M, M]
+    if estimator == "logmeanexp" and n_s > 1:
+        # attenuated per-pixel loss over the sample dim; keeps a
+        # (degenerate) leading axis so the weighting below is shared
+        per_pix = -(
+            jax.nn.logsumexp(-per_pix, axis=0, keepdims=True)
+            - jnp.log(float(n_s))
+        )
+        n_s = 1
+    elif estimator not in ("sampled_bce", "logmeanexp"):
+        raise ValueError(f"unknown mask uncertainty estimator {estimator!r}")
     w = pos.astype(per_pix.dtype)[None, :, None, None]
     if loss_weight is not None:
         w = w * loss_weight.reshape(-1)[None, :, None, None]

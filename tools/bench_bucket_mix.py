@@ -9,13 +9,17 @@ grouped_batch_sampler.py:9-115) exists precisely to batch same-aspect
 images — so the production number is the mix-weighted one, including
 the padding tax of each bucket.
 
-Aspect mix (COCO train2017, measured over the annotation metadata the
-reference's _compute_aspect_ratios uses): ~70.6% landscape, ~24.5%
-portrait, ~4.9% near-square (|log aspect| < 0.1).  After the
-reference Resize (min 800 / max 1333, transforms.py Resize):
-landscape -> (800, <=1333) -> bucket (800, 1344); portrait ->
-(<=1333, 800) -> bucket (1344, 832); near-square -> ~(800..1024)^2 ->
-bucket (1024, 1024).
+Aspect mix: the production-size synthetic COCO tree's SIZE_MIX
+(tools/synth_coco.py:36-42, itself a documented approximation of the
+COCO val2017 shape histogram — 45% 640x480, 20% 640x427, 5% 500x375,
+15% 480x640, 10% 427x640, 5% 612x612).  After the reference Resize
+(min 800 / max 1333) each class selects one rung of the default
+TPU.IMAGE_BUCKETS ladder (DATALOADER.GROUP_BY_BUCKET batches are
+bucket-homogeneous, so each class really does step at its own rung).
+
+Run with BENCH_BUCKETS=legacy to measure the pre-round-4 3-bucket set
+(the reference-style coarse grouping): there the whole landscape class
+rides (800, 1333) and the tax is ~15% (BENCH_NOTES round4_bucket_mix).
 
   python tools/bench_bucket_mix.py [batch]
 
@@ -30,12 +34,24 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 # (bucket HxW exactly as cfg.TPU.IMAGE_BUCKETS selects them
 # (data/collate.py:select_bucket), representative true image HxW,
-# weight)
-MIX = [
+# weight).  Weights follow synth_coco.SIZE_MIX; representatives are
+# the post-Resize shapes of each size class.
+MIX_LADDER = [
+    ((800, 1088), (800, 1066), 0.50),    # 4:3 landscape (640x480, 500x375)
+    ((800, 1216), (800, 1199), 0.20),    # 3:2 landscape (640x427)
+    ((1088, 800), (1066, 800), 0.15),    # 3:4 portrait
+    ((1216, 800), (1199, 800), 0.10),    # 2:3 portrait
+    ((800, 1088), (800, 800), 0.05),     # square (smallest fitting rung)
+]
+MIX_LEGACY = [
     ((800, 1333), (800, 1066), 0.706),   # 4:3 landscape (640x480 class)
     ((1333, 800), (1333, 800), 0.245),   # portrait
     ((1024, 1024), (900, 900), 0.049),   # near-square
 ]
+MIX = (
+    MIX_LEGACY if os.environ.get("BENCH_BUCKETS") == "legacy"
+    else MIX_LADDER
+)
 
 
 def main():
