@@ -45,6 +45,7 @@ SLOW_MODULES = {
     "test_cli_resume",
     "test_cli_pipeline",
     "test_baselines",
+    "test_uncertainty_efficacy",
 }
 
 

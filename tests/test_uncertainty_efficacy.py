@@ -1,0 +1,86 @@
+"""Reduced uncertainty-efficacy study (VERDICT r3 item 4).
+
+Round-3 proved numerical *parity* of the paper's uncertainty mechanism
+(reference roi_mask_predictors.py:43-63, st_generalized_rcnn.py:336-341);
+this asserts it *functions*: trained on a population whose pseudo-mask
+targets are corrupted exactly on "hard" (texture-marked) examples, the
+real ``MaskPredictor``'s learned sigma must separate the two
+populations, and the sign of the separation is the estimator story
+``tools/ablate_st.py`` measures at full scale (numbers in COVERAGE.md):
+
+* ``logmeanexp`` (Kendall-Gal attenuation, the configurable
+  ``MODEL.ROI_MASK_HEAD.UNCERTAINTY_ESTIMATOR``): sigma GROWS on the
+  noisy population — the behavior the paper describes — and the
+  per-batch adaptive weight 0.01/avg_uncertain down-weights a
+  pure-noisy batch vs a pure-clean one.
+* ``sampled_bce`` (reference parity, n_samples=1): Jensen pressure
+  shrinks sigma fastest where targets contradict the logits, so the
+  separation INVERTS — measured honestly rather than assumed.
+
+This is the reduced (1-seed, short-horizon) version of the study; the
+analytic gradient-direction core is pinned fast in
+``test_uncertainty_estimator.py``.
+"""
+
+import os
+import sys
+
+import numpy as np
+import pytest
+
+sys.path.insert(
+    0,
+    os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "tools"
+    ),
+)
+
+from ablate_st import auroc, make_data, train_mask_head  # noqa: E402
+
+
+@pytest.fixture(scope="module")
+def sigma_by_population():
+    """Train the real MaskPredictor under both estimators on one
+    corrupted population; return per-example sigmas + noise labels."""
+    import jax.numpy as jnp
+
+    rng = np.random.RandomState(0)
+    feats, targets, is_noisy, is_corrupted, _ = make_data(rng, 384)
+    out = {}
+    for estimator, n_samples in (("sampled_bce", 1), ("logmeanexp", 8)):
+        sigma_of, traj = train_mask_head(
+            0, 400, 32, feats, targets, estimator, n_samples,
+            traj_every=399,
+        )
+        sigmas = np.concatenate(
+            [
+                np.asarray(sigma_of(jnp.asarray(feats[i : i + 64])))
+                for i in range(0, len(feats), 64)
+            ]
+        )
+        out[estimator] = (sigmas, traj)
+    return out, is_noisy
+
+
+def test_kg_sigma_flags_noisy_population(sigma_by_population):
+    (out, is_noisy) = sigma_by_population
+    sigmas, _ = out["logmeanexp"]
+    ratio = sigmas[is_noisy].mean() / sigmas[~is_noisy].mean()
+    assert ratio > 1.05, ratio
+    assert auroc(sigmas, is_noisy) > 0.8
+    # the adaptive weight 0.01/avg_uncertain routes DOWN on a
+    # pure-noisy batch (st_generalized_rcnn.py:336-341 semantics)
+    lam_noisy = 0.01 / sigmas[is_noisy].mean()
+    lam_clean = 0.01 / sigmas[~is_noisy].mean()
+    assert lam_noisy < lam_clean
+
+
+def test_reference_estimator_sigma_inverts(sigma_by_population):
+    (out, is_noisy) = sigma_by_population
+    sigmas, traj = out["sampled_bce"]
+    # Jensen: mean sampled-BCE shrinks sigma fastest on contradicted
+    # pixels, so noisy-population sigma ends BELOW clean — the
+    # reference's 0.01/avg_uncertain is a rising anneal, not a
+    # noise discriminator
+    assert sigmas[is_noisy].mean() < sigmas[~is_noisy].mean()
+    assert traj[-1][1] < traj[0][1], traj

@@ -103,7 +103,7 @@ def make_data(rng, n, noisy_frac=0.5, m=14, feat_noise=0.35):
 
 def train_mask_head(
     seed, steps, batch, feats, targets, estimator, num_samples, lr=1e-3,
-    traj_every=0,
+    traj_every=0, dim_reduced=256,
 ):
     """Trains the real MaskPredictor under the given estimator; returns
     (sigma_of, trajectory) where sigma_of(feats) -> per-example mean
@@ -116,7 +116,9 @@ def train_mask_head(
         MaskPredictor,
     )
 
-    model = MaskPredictor(num_classes=1, uncertainty=True)
+    model = MaskPredictor(
+        num_classes=1, uncertainty=True, dim_reduced=dim_reduced
+    )
     n = feats.shape[0]
     key = jax.random.PRNGKey(seed)
     k_init, k_unc, key = jax.random.split(key, 3)
@@ -129,8 +131,12 @@ def train_mask_head(
     tx = optax.adam(lr)
     opt_state = tx.init(params)
 
-    @jax.jit
-    def step(params, opt_state, x, y, rng):
+    def step(carry, inp):
+        params, opt_state = carry
+        idx, rng = inp
+        x = jnp.take(feats_d, idx, axis=0)
+        y = jnp.take(targets_d, idx, axis=0)
+
         def loss_fn(p):
             logits, scale = model.apply(
                 p, x, compute_uncertain=True, train=True,
@@ -152,22 +158,27 @@ def train_mask_head(
         )(params)
         updates, opt_state = tx.update(grads, opt_state)
         return (
-            optax.apply_updates(params, updates),
-            opt_state,
+            (optax.apply_updates(params, updates), opt_state),
             scale.mean(),
         )
 
+    # one compiled scan over pregenerated batch indices: per-step
+    # Python dispatch made a host-loop version ~50x slower on the
+    # single-core container
     rng_np = np.random.RandomState(seed + 1)
+    idx_all = jnp.asarray(rng_np.randint(0, n, size=(steps, batch)))
+    feats_d = jnp.asarray(feats)
+    targets_d = jnp.asarray(targets)
+    rngs_all = jax.random.split(key, steps)
+    (params, opt_state), sigma_per_step = jax.lax.scan(
+        step, (params, opt_state), (idx_all, rngs_all)
+    )
+    sigma_per_step = np.asarray(sigma_per_step)
     trajectory = []
-    for it in range(steps):
-        idx = rng_np.randint(0, n, size=batch)
-        key, sub = jax.random.split(key)
-        params, opt_state, avg_sigma = step(
-            params, opt_state, jnp.asarray(feats[idx]),
-            jnp.asarray(targets[idx]), sub,
-        )
-        if traj_every and (it % traj_every == 0 or it == steps - 1):
-            trajectory.append((it, round(float(avg_sigma), 4)))
+    if traj_every:
+        for it in list(range(0, steps, traj_every)) + [steps - 1]:
+            if not trajectory or trajectory[-1][0] != it:
+                trajectory.append((it, round(float(sigma_per_step[it]), 4)))
 
     @jax.jit
     def sigma_of(x):
@@ -216,20 +227,25 @@ def downstream_cls(seed, steps, feats, labels_noisy, labels_clean,
     tx = optax.sgd(lr)
     opt_state = tx.init(params)
 
-    @jax.jit
-    def step(params, opt_state, x, y, w):
+    x_tr_j, y_tr_j, w_tr_j = map(jnp.asarray, (x_tr, y_tr, w_tr))
+
+    def step(carry, _):
+        params, opt_state = carry
+
         def loss_fn(p):
-            logits = x @ p["w"] + p["b"]
-            ce = optax.softmax_cross_entropy_with_integer_labels(logits, y)
-            return (w * ce).mean()
+            logits = x_tr_j @ p["w"] + p["b"]
+            ce = optax.softmax_cross_entropy_with_integer_labels(
+                logits, y_tr_j
+            )
+            return (w_tr_j * ce).mean()
 
         loss, grads = jax.value_and_grad(loss_fn)(params)
         updates, opt_state = tx.update(grads, opt_state)
-        return optax.apply_updates(params, updates), opt_state
+        return (optax.apply_updates(params, updates), opt_state), None
 
-    x_tr_j, y_tr_j, w_tr_j = map(jnp.asarray, (x_tr, y_tr, w_tr))
-    for _ in range(steps):
-        params, opt_state = step(params, opt_state, x_tr_j, y_tr_j, w_tr_j)
+    (params, opt_state), _ = jax.lax.scan(
+        step, (params, opt_state), None, length=steps
+    )
     pred = np.asarray(
         jnp.argmax(jnp.asarray(x_te) @ params["w"] + params["b"], -1)
     )
@@ -308,15 +324,23 @@ def main():
     p = argparse.ArgumentParser()
     p.add_argument("--steps", type=int, default=1200)
     p.add_argument("--seeds", type=int, default=3)
+    p.add_argument(
+        "--platform", default="cpu",
+        help="jax platform (cpu | axon).  Each training is one "
+        "compiled lax.scan, so the study runs well on the attached "
+        "TPU chip; XLA:CPU's transposed-conv path makes the cpu run "
+        "~1 s/step on this container (use reduced --steps there).",
+    )
     args = p.parse_args()
 
-    # CPU study: the env var alone does NOT stop the axon TPU plugin
-    # from initializing (and blocking on a leased chip) — the config
-    # update does (same workaround as tests/conftest.py)
-    os.environ.setdefault("JAX_PLATFORMS", "cpu")
     import jax
 
-    jax.config.update("jax_platforms", "cpu")
+    if args.platform == "cpu":
+        # the env var alone does NOT stop the axon TPU plugin from
+        # initializing (and blocking on a leased chip) — the config
+        # update does (same workaround as tests/conftest.py)
+        os.environ.setdefault("JAX_PLATFORMS", "cpu")
+        jax.config.update("jax_platforms", "cpu")
     rows = [run_seed(s, args.steps) for s in range(args.seeds)]
     scalar_keys = [
         k for k, v in rows[0]["ref"].items()
