@@ -369,8 +369,8 @@ def main():
                 [os.path.join(here, "tools", "bench_sustained.py"),
                  "--steps", "120", "--data", "/tmp/synth_coco"],
                 "sustained_cli",
-                ("value", "steady_imgs_per_sec", "data_wait_pct",
-                 "peak_host_rss_gb"),
+                ("value", "steady_imgs_per_sec", "wall_avg_imgs_per_sec",
+                 "data_wait_pct", "peak_host_rss_gb"),
             ),
         ):
             if backend_dead:

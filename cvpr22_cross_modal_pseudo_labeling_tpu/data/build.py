@@ -11,6 +11,7 @@ queue; the device transfer is double-buffered by the caller via
 jax.device_put on the next batch while the current step runs.
 """
 
+import logging
 import os
 import queue
 import threading
@@ -271,25 +272,49 @@ def make_data_loader(
             pad=is_train,
         )
         if cfg.DATALOADER.ASPECT_RATIO_GROUPING and is_train:
+            group_drop_last = cfg.DATALOADER.DROP_LAST
             if cfg.DATALOADER.GROUP_BY_BUCKET and cfg.TPU.IMAGE_BUCKETS:
-                # bucket-homogeneous batches: minimal padding per batch
+                # bucket-homogeneous batches: minimal padding per batch.
+                # Multi-scale training: group by the LARGEST configured
+                # min size — any smaller draw of the same image fits the
+                # same bucket, so the compiled-shape set stays bounded
+                # by len(buckets) (each batch's max dims select at most
+                # that group's bucket).
+                ms = cfg.INPUT.MIN_SIZE_TRAIN
+                ms_list = list(ms) if isinstance(ms, (tuple, list)) else [ms]
+                if len(ms_list) > 1:
+                    logger = logging.getLogger(__name__)
+                    logger.info(
+                        "GROUP_BY_BUCKET with multi-scale MIN_SIZE_TRAIN "
+                        "%s: grouping by the largest scale (%d) to bound "
+                        "padding and compiled shapes",
+                        ms_list, max(ms_list),
+                    )
                 groups = compute_bucket_groups(
                     ds,
                     cfg.TPU.IMAGE_BUCKETS,
-                    min_size=(
-                        cfg.INPUT.MIN_SIZE_TRAIN[0]
-                        if isinstance(
-                            cfg.INPUT.MIN_SIZE_TRAIN, (tuple, list)
-                        )
-                        else cfg.INPUT.MIN_SIZE_TRAIN
-                    ),
+                    min_size=max(ms_list),
                     max_size=cfg.INPUT.MAX_SIZE_TRAIN,
                     size_divisible=max(cfg.DATALOADER.SIZE_DIVISIBILITY, 64),
                 )
+                # the ladder has up to len(buckets)+overflow groups; with
+                # drop_last=False each epoch flushes that many partial
+                # batches of ARBITRARY size, and every new (batch, rung)
+                # pair is a fresh XLA compile of the train step.  Force
+                # drop_last so exactly len(buckets) train programs ever
+                # compile (training is iteration-based + shuffled, the
+                # dropped tail differs every epoch).
+                if not group_drop_last:
+                    logging.getLogger(__name__).info(
+                        "GROUP_BY_BUCKET forces DROP_LAST=True to keep "
+                        "the compiled train-program count at "
+                        "len(IMAGE_BUCKETS)"
+                    )
+                    group_drop_last = True
             else:
                 groups = compute_aspect_ratio_groups(ds)
             batch_sampler = GroupedBatchSampler(
-                sampler, groups, per_host, drop_last=cfg.DATALOADER.DROP_LAST
+                sampler, groups, per_host, drop_last=group_drop_last
             )
         else:
             batch_sampler = _FixedBatchSampler(

@@ -179,20 +179,45 @@ def compute_bucket_groups(
     collator still pads whatever arrives correctly, grouping is only a
     batching heuristic.
     """
+    import logging
+
     from .collate import select_bucket
     from .transforms import get_resize_hw
 
     bucket_ids = {tuple(b): i for i, b in enumerate(buckets)}
+    # images larger than every bucket get select_bucket's divisible-pad
+    # fallback of their OWN dims — grouping all of them together would
+    # make every distinct overflow-batch composition a fresh compiled
+    # shape, so each fallback (H, W) gets its own group id instead
+    overflow_ids: dict = {}
     groups = []
+    degenerate = 0
     for i in range(len(dataset)):
         info = dataset.get_img_info(i)
         h, w = info.get("height", 0), info.get("width", 1)
         if not (h and w):
-            groups.append(len(bucket_ids))
-            continue
-        nh, nw = get_resize_hw((h, w), min_size, max_size)
-        sel = select_bucket(nh, nw, buckets, size_divisible)
-        # images larger than every bucket fall into a shared overflow
-        # group (select_bucket's divisible-pad fallback shape)
-        groups.append(bucket_ids.get(tuple(sel), len(bucket_ids)))
+            degenerate += 1
+            nh, nw = get_resize_hw(
+                (min_size, min_size), min_size, max_size
+            )
+        else:
+            nh, nw = get_resize_hw((h, w), min_size, max_size)
+        sel = tuple(select_bucket(nh, nw, buckets, size_divisible))
+        gid = bucket_ids.get(sel)
+        if gid is None:
+            gid = overflow_ids.setdefault(
+                sel, len(bucket_ids) + len(overflow_ids)
+            )
+        groups.append(gid)
+    if overflow_ids or degenerate:
+        logging.getLogger(__name__).warning(
+            "bucket grouping: %d overflow shape(s) beyond the "
+            "IMAGE_BUCKETS ladder (%s)%s — each adds one compiled train "
+            "program; extend TPU.IMAGE_BUCKETS to cover them",
+            len(overflow_ids),
+            sorted(overflow_ids),
+            f"; {degenerate} image(s) had degenerate metadata"
+            if degenerate
+            else "",
+        )
     return groups

@@ -30,6 +30,7 @@ from .train_step import (
     _ALWAYS_REPLICATED_KEYS,
     _REPLICATED_BATCH_KEYS,
     batch_shardings,
+    pad_vocab_tables,
 )
 
 # batch keys every host carries in full (vs per-host batch shards)
@@ -129,6 +130,10 @@ class DevicePrefetcher:
     def _place_batch(self, batch):
         if self._extra:
             batch = {**batch, **self._extra}
+        # vocab-parallel padding: class tables padded to the 'model'
+        # mesh axis multiple with row masks (train_step.pad_vocab_tables)
+        # so COCO-49 / LVIS-1203 tables shard at any mesh shape
+        batch = pad_vocab_tables(batch, self._mesh)
         if self._shardings is None:
             self._shardings = batch_shardings(batch, self._mesh)
         return {

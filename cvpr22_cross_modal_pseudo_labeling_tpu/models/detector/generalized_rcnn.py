@@ -216,7 +216,11 @@ class GeneralizedRCNN(nn.Module):
         pseudo_sample_weights: Optional[jnp.ndarray] = None,
         lambda_mask: float = 1.0,
         gt_eval: Optional[Dict[str, jnp.ndarray]] = None,
+        class_valid: Optional[jnp.ndarray] = None,
     ):
+        # class_valid [C] bool: row mask for class tables padded to a
+        # multiple of the 'model' mesh axis (vocab-parallel sharding at
+        # arbitrary vocabulary sizes — engine/train_step.pad_vocab_tables)
         images = device_normalize(
             images, image_sizes, self.statics.pixel_mean,
             self.statics.pixel_std, self.statics.to_bgr255,
@@ -226,9 +230,11 @@ class GeneralizedRCNN(nn.Module):
                 images, image_sizes, class_embeddings, targets,
                 compute_uncertain=compute_uncertain,
                 pseudo_sample_weights=pseudo_sample_weights,
+                class_valid=class_valid,
             )
         return self.forward_eval(
-            images, image_sizes, class_embeddings, gt_eval=gt_eval
+            images, image_sizes, class_embeddings, gt_eval=gt_eval,
+            class_valid=class_valid,
         )
 
     def forward_train(
@@ -239,6 +245,7 @@ class GeneralizedRCNN(nn.Module):
         targets,
         compute_uncertain: bool = False,
         pseudo_sample_weights=None,
+        class_valid=None,
     ) -> RCNNTrainOutput:
         s = self.statics
         feats, objectness, box_reg, anchors, proposals = self._rpn_forward(
@@ -330,7 +337,9 @@ class GeneralizedRCNN(nn.Module):
         )
         x = self._extract_box_features(feats, sampled.boxes)
         vec = jnp.mean(x, axis=(1, 2))
-        logits, deltas, emb = self.box_predictor(vec, class_embeddings)
+        logits, deltas, emb = self.box_predictor(
+            vec, class_embeddings, class_valid
+        )
         cls_loss, box_loss = box_head_loss(
             logits.astype(jnp.float32),
             deltas.astype(jnp.float32),
@@ -403,6 +412,7 @@ class GeneralizedRCNN(nn.Module):
         image_sizes,
         class_embeddings,
         gt_eval: Optional[Dict[str, jnp.ndarray]] = None,
+        class_valid=None,
     ) -> RCNNEvalOutput:
         """gt_eval (MODEL.GT_BOX_EVAL, roi_heads.py:31-42): when given
         {'boxes': [B,G,4], 'labels': [B,G], 'valid': [B,G]}, GT boxes
@@ -454,7 +464,9 @@ class GeneralizedRCNN(nn.Module):
                 nms_tile=s.nms_tile,
             )
             return RCNNEvalOutput(dets, None)
-        logits, deltas, _ = self.box_predictor(vec, class_embeddings)
+        logits, deltas, _ = self.box_predictor(
+            vec, class_embeddings, class_valid
+        )
         dets = postprocess_boxes(
             logits.astype(jnp.float32).reshape(b, p, -1),
             deltas.astype(jnp.float32).reshape(b, p, -1),

@@ -243,6 +243,15 @@ class STGeneralizedRCNN(nn.Module):
         detectors (models/detector/baselines.py) override this."""
         return {}
 
+    def _override_pseudo(self, pseudo, batch):
+        """Experiment hook: lets a subclass replace the teacher's
+        pseudo-labels with externally controlled ones (the e2e noisy
+        pseudo-label ablation, tools/ablate_st_e2e.py, injects
+        GT-derived boxes with masks corrupted at a known rate to
+        measure the uncertainty mechanism at the AP level).  Identity
+        in the production model."""
+        return pseudo
+
     def _rpn_proposals(self, images, image_sizes, feats, train_selector):
         s = self.statics.base
         obj_l, reg_l = self.rpn_head(feats)
@@ -391,6 +400,7 @@ class STGeneralizedRCNN(nn.Module):
         sample_weight_table=None,
         focal_gamma=None,
         append_gt=True,
+        class_valid=None,
     ):
         """One student training branch (pseudo or GT): subsample, box and
         mask losses, per-image masked.
@@ -435,7 +445,9 @@ class STGeneralizedRCNN(nn.Module):
             is_pos=sampled.is_pos & image_mask[:, None],
         )
         x = self.student.extract(feats, sampled.boxes)
-        logits, deltas, _ = self.student.box_outputs(x, class_embeddings)
+        logits, deltas, _ = self.student.box_outputs(
+            x, class_embeddings, class_valid
+        )
         sample_weights = None
         if sample_weight_table is not None:
             g = sample_weight_table.shape[1]
@@ -495,6 +507,7 @@ class STGeneralizedRCNN(nn.Module):
         lvis_class_embeddings: Optional[jnp.ndarray] = None,
         train: bool = False,
         exemplars: Optional[Dict[str, jnp.ndarray]] = None,
+        class_valid: Optional[jnp.ndarray] = None,
     ):
         # ``batch`` is only consumed by the training branches; eval
         # callers (engine/inference.py, tools/test_net.py) pass
@@ -513,11 +526,17 @@ class STGeneralizedRCNN(nn.Module):
 
         if not train:
             return self.forward_eval(
-                feats, image_sizes, class_embeddings
+                feats, image_sizes, class_embeddings,
+                class_valid=class_valid,
             )
 
         losses: Dict[str, jnp.ndarray] = {}
         info: Dict[str, jnp.ndarray] = {}
+        # row masks for class tables padded to the 'model' mesh axis
+        # multiple (pad_vocab_tables); None when unpadded
+        if class_valid is None:
+            class_valid = batch.get("class_valid")
+        lvis_class_valid = batch.get("lvis_class_valid")
 
         if "lvis_name_ids" in batch:
             # MODEL.LANGUAGE_BACKBONE.FT_EMB: the reference recomputes
@@ -548,6 +567,7 @@ class STGeneralizedRCNN(nn.Module):
             batch["cap_word_valid"],
             batch["cap_labels"],
         )
+        pseudo = self._override_pseudo(pseudo, batch)
         if s.exemplars_enabled and exemplars is not None:
             flat_valid = (
                 pseudo["valid"] & cap_mask[:, None]
@@ -560,10 +580,17 @@ class STGeneralizedRCNN(nn.Module):
                 flat_valid,
             )
             info["exemplars"] = exemplars
+            # the exemplar table is sized by the true LVIS vocabulary;
+            # align it with a table padded to the 'model'-axis multiple
+            ex_embs, ex_valid = exemplars["embs"], exemplars["valid"]
+            pad = lvis_class_embeddings.shape[0] - ex_embs.shape[0]
+            if pad > 0:
+                ex_embs = jnp.pad(ex_embs, ((0, pad), (0, 0)))
+                ex_valid = jnp.pad(ex_valid, (0, pad))
             student_cap_embs = self.combine_embs(
                 lvis_class_embeddings,
-                exemplar_embs=exemplars["embs"],
-                exemplar_valid=exemplars["valid"],
+                exemplar_embs=ex_embs,
+                exemplar_valid=ex_valid,
             )
         else:
             student_cap_embs = self.combine_embs(lvis_class_embeddings)
@@ -580,6 +607,7 @@ class STGeneralizedRCNN(nn.Module):
             compute_uncertain=s.uncertainty,
             rng_name="sampler",
             append_gt=False,
+            class_valid=lvis_class_valid,
             **self._pseudo_loss_extras(pseudo),
         )
         info["avg_uncertain"] = avg_unc
@@ -640,13 +668,16 @@ class STGeneralizedRCNN(nn.Module):
             det_mask,
             compute_uncertain=False,
             rng_name="sampler",
+            class_valid=class_valid,
         )
         losses["loss_classifier"] = cls_g
         losses["loss_box_reg"] = box_g
         losses["loss_mask"] = mask_g
         return RCNNTrainOutput(losses, info)
 
-    def forward_eval(self, feats, image_sizes, class_embeddings):
+    def forward_eval(
+        self, feats, image_sizes, class_embeddings, class_valid=None
+    ):
         """Eval: student heads with the teacher's (dataset) vocabulary
         (st_generalized_rcnn.py:409-418)."""
         sb = self.statics.base
@@ -673,7 +704,7 @@ class STGeneralizedRCNN(nn.Module):
         )
         embs = self.combine_embs(class_embeddings)
         x = self.student.extract(feats, proposals.boxes)
-        logits, deltas, _ = self.student.box_outputs(x, embs)
+        logits, deltas, _ = self.student.box_outputs(x, embs, class_valid)
         b, p = proposals.boxes.shape[:2]
         dets = postprocess_boxes(
             logits.astype(jnp.float32).reshape(b, p, -1),

@@ -53,7 +53,7 @@ class BoxPredictor(nn.Module):
     dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, pooled_vec, class_embeddings=None):
+    def __call__(self, pooled_vec, class_embeddings=None, class_valid=None):
         if self.embedding_based:
             emb = nn.Dense(
                 self.emb_dim,
@@ -67,6 +67,19 @@ class BoxPredictor(nn.Module):
             logits = jnp.einsum(
                 "pe,ce->pc", emb, class_embeddings.astype(emb.dtype)
             )
+            if class_valid is not None:
+                # vocab-parallel padding discipline: class tables padded
+                # to a multiple of the 'model' mesh axis carry a [C] row
+                # mask (engine/train_step.pad_vocab_tables); padded
+                # columns are forced to -1e9 so exp() underflows to an
+                # exact 0 in every downstream softmax — loss, postproc
+                # and their gradients equal the unpadded computation
+                # bit-for-bit.
+                logits = jnp.where(
+                    class_valid.astype(bool)[None, :],
+                    logits,
+                    jnp.asarray(-1e9, logits.dtype),
+                )
             num_reg = 2
         else:
             emb = None
@@ -101,7 +114,9 @@ class BoxHead(nn.Module):
     dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, pooled, class_embeddings=None) -> BoxHeadOutputs:
+    def __call__(
+        self, pooled, class_embeddings=None, class_valid=None
+    ) -> BoxHeadOutputs:
         x = ResNetRoIHead(
             in_channels=self.in_channels,
             num_groups=self.num_groups,
@@ -119,7 +134,7 @@ class BoxHead(nn.Module):
             cls_agnostic_bbox_reg=self.cls_agnostic_bbox_reg,
             dtype=self.dtype,
             name="predictor",
-        )(vec, class_embeddings)
+        )(vec, class_embeddings, class_valid)
         return BoxHeadOutputs(logits, deltas, emb, x, vec)
 
 

@@ -65,9 +65,11 @@ class RoIHeadsBundle(nn.Module):
         )
         return self.roi_extractor(pooled.astype(_dtype(s)))
 
-    def box_outputs(self, x, class_embeddings):
+    def box_outputs(self, x, class_embeddings, class_valid=None):
         vec = jnp.mean(x, axis=(1, 2))
-        logits, deltas, emb = self.box_predictor(vec, class_embeddings)
+        logits, deltas, emb = self.box_predictor(
+            vec, class_embeddings, class_valid
+        )
         return logits, deltas, emb
 
     def mask_outputs(self, x, compute_uncertain=False, train=False):

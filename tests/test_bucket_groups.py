@@ -66,11 +66,16 @@ def test_bucket_groups_map_to_expected_rungs():
 
 
 def test_bucket_groups_overflow_and_degenerate():
-    ds = _FakeDataset([(4000, 100), (0, 0)])
-    # a 40:1 image resizes to (1333-capped) extreme shape that fits no
-    # ladder rung; degenerate metadata also lands in the overflow group
+    # overflow images group by their OWN divisible-pad fallback shape
+    # (one compiled program per distinct fallback, not per batch
+    # composition — advisor r4); degenerate metadata takes the canonical
+    # min_size square's group.  Two images sharing a fallback shape
+    # share a group; distinct fallbacks get distinct groups.
+    ds = _FakeDataset([(4000, 100), (0, 0), (2000, 50)])
     groups = compute_bucket_groups(ds, ((64, 64),), 800, 1333)
-    assert groups == [1, 1]
+    assert len(set(groups)) == 2  # both 40:1 images share one fallback
+    assert groups[0] == groups[2] != groups[1]
+    assert min(groups) >= 1  # none fit the (64, 64)-only ladder
 
 
 def test_grouped_batches_are_bucket_homogeneous():

@@ -352,3 +352,162 @@ def test_ft_emb_vocab_parallel_matches_unsharded():
         float(m_plain["total_loss"]),
         rtol=2e-5, atol=1e-5,
     )
+
+
+def test_hybrid_mesh_odd_vocab_49_matches_1dev():
+    """(d) VERDICT r4 #1: the hybrid data x model mesh must accept the
+    production COCO 49-row class table.  pad_vocab_tables pads it to the
+    'model'-axis multiple with a row mask; the padded, vocab-parallel
+    run must give the SAME loss/grad trajectory as unpadded single-device
+    (BoxPredictor masks the pad logits columns to an exact softmax
+    no-op)."""
+    from cvpr22_cross_modal_pseudo_labeling_tpu.engine.train_step import (
+        pad_vocab_tables,
+    )
+
+    cfg = tiny_cfg()
+    model = GeneralizedRCNN(statics_from_cfg(cfg))
+    batch = make_batch(b=4)
+    rng = np.random.RandomState(11)
+    batch["class_embeddings"] = jnp.asarray(
+        rng.randn(49, 16), jnp.float32
+    )
+    params = model.init(
+        {"params": jax.random.PRNGKey(0), "sampler": jax.random.PRNGKey(1)},
+        batch["images"][:1],
+        batch["image_sizes"][:1],
+        batch["class_embeddings"],
+        {
+            k: batch[k][:1]
+            for k in ("gt_boxes", "gt_labels", "gt_valid", "gt_masks")
+        },
+        train=True,
+    )
+    tx, _ = make_optimizer(
+        cfg, params["params"], frozen_prefixes_from_cfg(cfg)
+    )
+
+    def run(axes, shape, n, b):
+        mesh = make_mesh(axes, shape, devices=jax.devices()[:n])
+        padded = pad_vocab_tables(batch, mesh)
+        if n > 1:
+            # the fix under test: the padded table really is
+            # vocab-parallel, not silently replicated
+            import jax.sharding as shd
+
+            from cvpr22_cross_modal_pseudo_labeling_tpu.engine.train_step import (
+                batch_shardings,
+            )
+
+            assert padded["class_embeddings"].shape[0] == 50
+            assert batch_shardings(padded, mesh)[
+                "class_embeddings"
+            ].spec == shd.PartitionSpec("model", None)
+        state = create_train_state(
+            jax.device_get(params), tx, jax.random.PRNGKey(42)
+        )
+        step = jit_train_step(
+            build_train_step(model, tx, "GeneralizedRCNN"), mesh, padded
+        )
+        traj = []
+        for _ in range(2):
+            state, metrics = step(state, padded)
+            traj.append(
+                (float(metrics["total_loss"]), float(metrics["grad_norm"]))
+            )
+        return traj
+
+    t_hybrid = run(("data", "model"), (4, 2), 8, 4)
+    t_1 = run(("data",), (1,), 1, 4)
+    for (lh, gh), (l1, g1) in zip(t_hybrid, t_1):
+        np.testing.assert_allclose(lh, l1, rtol=2e-5)
+        np.testing.assert_allclose(gh, g1, rtol=2e-4)
+
+
+def test_ft_emb_vocab_parallel_odd_lvis_1203():
+    """(e) FT_EMB at the REAL LVIS vocabulary (1203 rows, odd): the
+    padded tokenized-name rows rebuild a 1204-row table in-step, the
+    vocab-parallel constraint applies (1204 % 2 == 0), and the loss
+    equals the unsharded, unpadded run."""
+    import optax
+
+    from cvpr22_cross_modal_pseudo_labeling_tpu.engine.train_step import (
+        build_train_step,
+        create_train_state,
+        jit_train_step,
+        lvis_table_sharding,
+        pad_vocab_tables,
+    )
+    from cvpr22_cross_modal_pseudo_labeling_tpu.models.detector.st_generalized_rcnn import (
+        STGeneralizedRCNN,
+        st_statics_from_cfg,
+    )
+    from test_st_model import st_tiny_cfg
+
+    lvis = 1203
+    cfg = st_tiny_cfg()
+    statics = st_statics_from_cfg(cfg)._replace(
+        vocab_size=64, lvis_vocab=lvis
+    )
+    model = STGeneralizedRCNN(statics)
+    b, nw, t = 4, 3, 4
+    rng = np.random.RandomState(3)
+    images = jnp.asarray(rng.rand(b, 64, 64, 3), jnp.float32)
+    image_sizes = jnp.tile(jnp.array([[64, 64]], jnp.int32), (b, 1))
+    batch = {
+        "images": images,
+        "image_sizes": image_sizes,
+        "cap_mask": jnp.array([True, False, True, False]),
+        "det_mask": jnp.ones((b,), bool),
+        "cap_tok_ids": jnp.asarray(rng.randint(5, 64, (b, nw, t)), jnp.int32),
+        "cap_tok_mask": jnp.ones((b, nw, t), jnp.int32),
+        "cap_word_valid": jnp.tile(jnp.array([[True, True, False]]), (b, 1)),
+        "cap_labels": jnp.asarray(rng.randint(0, lvis, (b, nw)), jnp.int32),
+        "gt_boxes": jnp.tile(jnp.array([[4.0, 4.0, 30.0, 30.0]]), (b, 4, 1)),
+        "gt_labels": jnp.ones((b, 4), jnp.int32),
+        "gt_valid": jnp.tile(jnp.array([[True, True, False, False]]), (b, 1)),
+        "gt_masks": jnp.ones((b, 4, 28, 28)),
+        # odd dataset vocabulary too (the COCO open-vocab split is 49)
+        "class_embeddings": jnp.asarray(rng.randn(49, 16), jnp.float32),
+        "lvis_name_ids": jnp.asarray(
+            rng.randint(1, 64, (lvis, t)), jnp.int32
+        ),
+        "lvis_name_mask": jnp.ones((lvis, t), jnp.int32),
+    }
+    params = model.init(
+        {"params": jax.random.PRNGKey(0), "sampler": jax.random.PRNGKey(1)},
+        images,
+        image_sizes,
+        {k: v for k, v in batch.items() if k not in ("images", "image_sizes")},
+        batch["class_embeddings"],
+        jnp.zeros((lvis, 16)),
+        train=True,
+    )
+    tx = optax.sgd(0.001)
+
+    # unsharded, UNPADDED baseline first (jit_train_step donates state)
+    step_plain = jax.jit(build_train_step(model, tx, "STGeneralizedRCNN"))
+    state2 = create_train_state(params, tx, jax.random.PRNGKey(7))
+    _, m_plain = step_plain(state2, batch)
+
+    mesh = make_mesh(("data", "model"), (4, 2))
+    padded = pad_vocab_tables(batch, mesh)
+    assert padded["lvis_name_ids"].shape[0] == 1204
+    assert padded["class_embeddings"].shape[0] == 50
+    step_sharded = jit_train_step(
+        build_train_step(
+            model, tx, "STGeneralizedRCNN",
+            lvis_table_sharding=lvis_table_sharding(mesh),
+        ),
+        mesh,
+        padded,
+    )
+    state = create_train_state(params, tx, jax.random.PRNGKey(7))
+    _, m_sharded = step_sharded(state, padded)
+
+    assert np.isfinite(float(m_sharded["total_loss"]))
+    np.testing.assert_allclose(
+        float(m_sharded["total_loss"]),
+        float(m_plain["total_loss"]),
+        rtol=2e-5, atol=1e-5,
+    )

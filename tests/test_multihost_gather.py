@@ -184,3 +184,119 @@ def test_two_process_training_step_matches_single_process(tmp_path):
     outs = _run_pair(script)
     assert any("proc 0 train ok" in o for o in outs)
     assert any("proc 1 train ok" in o for o in outs)
+
+
+_HYBRID_WORKER = textwrap.dedent(
+    """
+    import os, sys
+    # two local CPU devices per process -> a 4-device, 2-process world
+    os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=2"
+    pid = int(sys.argv[1]); port = sys.argv[2]
+    import jax
+    jax.distributed.initialize(
+        coordinator_address="localhost:" + port,
+        num_processes=2,
+        process_id=pid,
+    )
+    sys.path.insert(0, "@REPO@")
+    import numpy as np
+    import jax.numpy as jnp
+    import optax
+
+    from jax.sharding import Mesh
+    from cvpr22_cross_modal_pseudo_labeling_tpu.engine.train_step import (
+        _apply_update, batch_shardings, create_train_state,
+        jit_train_step, pad_vocab_tables,
+    )
+    from cvpr22_cross_modal_pseudo_labeling_tpu.engine.trainer import (
+        _HOST_FULL_KEYS, _place,
+    )
+
+    # data axis = the two LOCAL devices, model axis = the PROCESS
+    # boundary: the vocab-parallel class-table psum/gather crosses
+    # hosts (VERDICT r4 next #7)
+    devs = np.asarray(jax.devices()).reshape(2, 2)  # [process, local]
+    mesh = Mesh(devs.T, ("data", "model"))
+    assert mesh.shape == {"data": 2, "model": 2}, mesh
+
+    # toy vocab classifier with an ODD 5-row class table: logits =
+    # (x @ w) @ table^T, padded-column masking exactly as BoxPredictor
+    rng = np.random.RandomState(0)
+    X = rng.randn(8, 3).astype(np.float32)
+    Y = rng.randint(0, 5, (8,)).astype(np.int32)
+    T = rng.randn(5, 4).astype(np.float32)  # full on BOTH processes
+
+    tx = optax.sgd(0.1)
+    params = {"params": {"w": jnp.zeros((3, 4), jnp.float32)}}
+
+    def step(state, batch):
+        def loss_fn(p):
+            emb = batch["x"] @ p["params"]["w"]
+            logits = emb @ batch["class_embeddings"].T
+            logits = jnp.where(
+                batch["class_valid"][None, :], logits, -1e9
+            )
+            logp = jax.nn.log_softmax(logits, axis=-1)
+            return -jnp.mean(
+                jnp.take_along_axis(logp, batch["y"][:, None], axis=1)
+            )
+
+        loss, grads = jax.value_and_grad(loss_fn)(state.params)
+        return _apply_update(state, grads, tx), {"total_loss": loss}
+
+    batch = pad_vocab_tables(
+        {"x": X, "y": Y, "class_embeddings": T}, mesh
+    )
+    assert batch["class_embeddings"].shape == (6, 4)  # padded to model=2
+    shardings = batch_shardings(batch, mesh)
+    import jax.sharding as shd
+    assert shardings["class_embeddings"].spec == shd.PartitionSpec(
+        "model", None
+    ), shardings
+    placed = {
+        k: _place(
+            np.asarray(v), shardings[k],
+            host_holds_full=k in _HOST_FULL_KEYS,
+        )
+        for k, v in batch.items()
+    }
+    # the table really is split across the process boundary
+    tbl_shard = [
+        s for s in placed["class_embeddings"].addressable_shards
+    ][0]
+    assert tbl_shard.data.shape[0] == 3, tbl_shard.data.shape
+
+    state = create_train_state(params, tx, jax.random.PRNGKey(0))
+    step_j = jit_train_step(step, mesh, batch)
+    for _ in range(3):
+        state, metrics = step_j(state, placed)
+
+    # single-process oracle on the UNPADDED 5-row table
+    w = np.zeros((3, 4), np.float32)
+    for _ in range(3):
+        logits = (X @ w) @ T.T
+        logits -= logits.max(axis=1, keepdims=True)
+        p = np.exp(logits) / np.exp(logits).sum(axis=1, keepdims=True)
+        onehot = np.eye(5, dtype=np.float32)[Y]
+        grad = X.T @ ((p - onehot) @ T) / 8.0
+        w = w - 0.1 * grad
+    got = np.asarray(jax.device_get(state.params["params"]["w"]))
+    np.testing.assert_allclose(got, w, rtol=1e-5, atol=1e-6)
+    print("proc", pid, "hybrid ok")
+    """
+).replace("@REPO@", REPO)
+
+
+def test_two_process_hybrid_mesh_vocab_parallel(tmp_path):
+    """A REAL 2-process data x model mesh with the model axis on the
+    process boundary: an odd (5-row) class table is padded by
+    pad_vocab_tables, placed vocab-parallel across hosts by the
+    trainer's host-full path, and three training steps match the
+    single-process unpadded oracle — the cross-host psum/gather of the
+    vocabulary-parallel classifier (VERDICT r4 next #7; reference
+    boundary: utils/comm.py:48-88)."""
+    script = tmp_path / "hybrid_worker.py"
+    script.write_text(_HYBRID_WORKER)
+    outs = _run_pair(script)
+    assert any("proc 0 hybrid ok" in o for o in outs)
+    assert any("proc 1 hybrid ok" in o for o in outs)

@@ -1,0 +1,374 @@
+#!/usr/bin/env python
+"""End-to-end noisy-pseudo-label ablation at the AP level (VERDICT r4
+missing #3 / round-3 item 4's done criterion).
+
+Round 4 proved the mechanism at the mask-head level (tools/ablate_st.py:
+sigma separation, AUROC, weight routing).  This tool closes the loop:
+it trains the ACTUAL ``STGeneralizedRCNN`` — full caption branch,
+proposal matching, RoI sampling, adaptive ``0.01/avg_uncertain``
+branch weight (reference st_generalized_rcnn.py:336-341), per-pixel
+attenuated mask loss (roi_mask_predictors.py:43-63) — under
+pseudo-labels whose MASKS are corrupted at a controlled rate, and
+compares held-out GT-box mask AP50 across three conditions:
+
+  (a) fixed     — MODEL.UNCERTAINTY=False, plain BCE mask loss;
+  (b) sampled_bce — the reference estimator (n=1), adaptive lambda;
+  (c) logmeanexp  — the Kendall-Gal estimator (n=8), adaptive lambda.
+
+Controlled experiment: a "perfect-boxes, noisy-masks teacher" — the
+``_override_pseudo`` hook injects GT boxes/labels as pseudo-labels with
+each example's mask complemented with probability ``corrupt_rate``
+(fixed per example).  The detection branch is OFF (det_mask=False), so
+ONLY pseudo supervision trains the student; the backbone/RPN are frozen
+by the ST construction, and every condition shares the same init,
+data, corruption pattern and step count.  Held-out eval follows the
+GT_BOX_EVAL protocol (reference roi_heads.py:31-42): student heads on
+GT boxes, a prediction is a TP when its class argmax is right AND its
+mask IoU vs the clean GT raster is >= 0.5.
+
+  python tools/ablate_st_e2e.py [--steps 300] [--corrupt 0.5]
+
+Prints one JSON line; the numbers live in COVERAGE.md ("Round 5" map)
+and the ordering is pinned by tests/test_ablate_st_e2e.py.
+"""
+
+import argparse
+import json
+import os
+import sys
+
+import numpy as np
+
+sys.path.insert(
+    0, os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+)
+
+LVIS_SLOTS = 5  # toy LVIS vocabulary; labels 1 (ellipse) / 2 (diamond)
+EMB = 16
+HW = 64
+M2 = 28  # mask-head output resolution (2 x RESOLUTION//2 grid)
+
+
+def make_detection_data(rng, n, hw=HW, m2=M2):
+    """One bright shape per image on a dark noisy background: ellipse
+    (label 1) or diamond (label 2) — cls-agnostic mask heads must read
+    the image to tell them apart, so mask quality cannot saturate from
+    a constant output."""
+    images = (rng.rand(n, hw, hw, 3) * 0.15).astype(np.float32)
+    boxes = np.zeros((n, 1, 4), np.float32)
+    labels = np.zeros((n, 1), np.int32)
+    masks = np.zeros((n, 1, m2, m2), np.float32)
+    yy, xx = np.mgrid[0:hw, 0:hw]
+    gy, gx = np.mgrid[0:m2, 0:m2]
+    for i in range(n):
+        w, h = rng.randint(24, 40, 2)
+        x0 = rng.randint(2, hw - w - 2)
+        y0 = rng.randint(2, hw - h - 2)
+        cx, cy, rx, ry = x0 + w / 2, y0 + h / 2, w / 2, h / 2
+        lab = 1 + (i % 2)
+        if lab == 1:  # ellipse
+            inside = ((xx - cx) / rx) ** 2 + ((yy - cy) / ry) ** 2 <= 1.0
+            gin = ((gx + 0.5) / m2 - 0.5) ** 2 / 0.25 + (
+                (gy + 0.5) / m2 - 0.5
+            ) ** 2 / 0.25 <= 1.0
+        else:  # diamond
+            inside = (
+                np.abs(xx - cx) / rx + np.abs(yy - cy) / ry <= 1.0
+            )
+            gin = (
+                np.abs((gx + 0.5) / m2 - 0.5) / 0.5
+                + np.abs((gy + 0.5) / m2 - 0.5) / 0.5
+                <= 1.0
+            )
+        color = np.array(
+            [0.9, 0.3, 0.2] if lab == 1 else [0.2, 0.4, 0.9], np.float32
+        )
+        images[i][inside] = color + 0.05 * rng.randn(
+            int(inside.sum()), 3
+        ).astype(np.float32)
+        boxes[i, 0] = (x0, y0, x0 + w, y0 + h)
+        labels[i, 0] = lab
+        masks[i, 0] = gin.astype(np.float32)
+    images = np.clip(images, 0.0, 1.0) * 255.0
+    return images, boxes, labels, masks
+
+
+def ablation_cfg():
+    from cvpr22_cross_modal_pseudo_labeling_tpu.config import (
+        get_default_cfg,
+    )
+
+    cfg = get_default_cfg()
+    cfg.MODEL.META_ARCHITECTURE = "STGeneralizedRCNN"
+    cfg.MODEL.MASK_ON = True
+    cfg.MODEL.CLS_AGNOSTIC_BBOX_REG = True
+    cfg.MODEL.CLS_AGNOSTIC_MASK = True
+    cfg.MODEL.RPN.DONT_TRAIN = True
+    cfg.MODEL.ROI_BOX_HEAD.EMBEDDING_BASED = True
+    cfg.MODEL.ROI_BOX_HEAD.EMB_DIM = EMB
+    cfg.MODEL.ROI_HEADS.POSITIVE_FRACTION = 1.0
+    cfg.MODEL.ROI_HEADS.BATCH_SIZE_PER_IMAGE = 16
+    cfg.MODEL.ROI_HEADS.DETECTIONS_PER_IMG = 8
+    # keep nearly every anchor as a caption-branch candidate: the RPN is
+    # frozen at random init, so proposal RECALL must come from anchor
+    # coverage (16px-spaced 32x32 anchors give IoU >= 0.5 with the
+    # 24-40px shapes)
+    cfg.MODEL.RPN.PRE_NMS_TOP_N_TEST = 256
+    cfg.MODEL.RPN.POST_NMS_TOP_N_TEST = 128
+    cfg.MODEL.RPN.PRE_NMS_TOP_N_TRAIN = 256
+    cfg.MODEL.RPN.POST_NMS_TOP_N_TRAIN = 128
+    cfg.TPU.MAX_GT = 2
+    cfg.TPU.MAX_CAP_NOUNS = 1
+    cfg.TPU.NMS_TILE = 256
+    cfg.SOLVER.BASE_LR = 0.02
+    return cfg
+
+
+def build_model(uncertainty: bool, estimator: str, n_samples: int):
+    from cvpr22_cross_modal_pseudo_labeling_tpu.models.detector.st_generalized_rcnn import (
+        STGeneralizedRCNN,
+        st_statics_from_cfg,
+    )
+
+    import jax
+
+    class ControlledPseudoST(STGeneralizedRCNN):
+        """The _override_pseudo experiment hook: perfect boxes/labels,
+        externally corrupted masks."""
+
+        def _override_pseudo(self, pseudo, batch):
+            out = dict(pseudo)
+            out["boxes"] = batch["pseudo_boxes"]
+            out["labels"] = batch["pseudo_labels"]
+            out["valid"] = batch["pseudo_valid"]
+            out["scores"] = batch["pseudo_valid"].astype(np.float32)
+            if "masks" in out:
+                out["masks"] = batch["pseudo_masks"]
+            return jax.tree_util.tree_map(jax.lax.stop_gradient, out)
+
+    cfg = ablation_cfg()
+    cfg.MODEL.UNCERTAINTY = uncertainty
+    cfg.MODEL.REWEIGHT = uncertainty
+    cfg.MODEL.LAMBDA_PSEUDO_LABEL = 1.0  # fixed-lambda at the adaptive
+    # conditions' mask weight (their mask loss is unweighted), so the
+    # ONLY difference between conditions is the uncertainty mechanism
+    cfg.MODEL.ROI_MASK_HEAD.UNCERTAINTY_ESTIMATOR = estimator
+    cfg.MODEL.ROI_MASK_HEAD.UNCERTAINTY_SAMPLES = n_samples
+    statics = st_statics_from_cfg(cfg)._replace(
+        vocab_size=64, lvis_vocab=LVIS_SLOTS
+    )
+    return ControlledPseudoST(statics), cfg
+
+
+def make_batch(images, boxes, labels, masks, corrupt, lvis_table):
+    """Training batch: caption branch only (det_mask=False), pseudo
+    overrides carrying GT boxes/labels and per-example corrupted
+    masks."""
+    import jax.numpy as jnp
+
+    b = images.shape[0]
+    pseudo_masks = np.where(
+        corrupt[:, None, None, None], 1.0 - masks, masks
+    ).astype(np.float32)
+    return {
+        "images": jnp.asarray(images, jnp.float32),
+        "image_sizes": jnp.tile(jnp.array([[HW, HW]], jnp.int32), (b, 1)),
+        "cap_mask": jnp.ones((b,), bool),
+        "det_mask": jnp.zeros((b,), bool),
+        "cap_tok_ids": jnp.full((b, 1, 2), 7, jnp.int32),
+        "cap_tok_mask": jnp.ones((b, 1, 2), jnp.int32),
+        "cap_word_valid": jnp.ones((b, 1), bool),
+        "cap_labels": jnp.asarray(labels, jnp.int32),
+        "pseudo_boxes": jnp.asarray(boxes, jnp.float32),
+        "pseudo_labels": jnp.asarray(labels, jnp.int32),
+        "pseudo_valid": jnp.ones((b, 1), bool),
+        "pseudo_masks": jnp.asarray(pseudo_masks),
+        # detection branch placeholders (masked out by det_mask=False)
+        "gt_boxes": jnp.zeros((b, 2, 4), jnp.float32),
+        "gt_labels": jnp.zeros((b, 2), jnp.int32),
+        "gt_valid": jnp.zeros((b, 2), bool),
+        "gt_masks": jnp.zeros((b, 2, M2, M2), jnp.float32),
+        "class_embeddings": jnp.asarray(lvis_table, jnp.float32),
+        "lvis_class_embeddings": jnp.asarray(lvis_table, jnp.float32),
+    }
+
+
+def gtbox_metrics(model, params, images, boxes, labels, masks, lvis_table):
+    """GT_BOX_EVAL protocol on held-out data: student heads on GT
+    boxes; TP = correct class argmax AND mask IoU >= 0.5."""
+    import jax
+    import jax.numpy as jnp
+
+    from cvpr22_cross_modal_pseudo_labeling_tpu.models.backbone import (
+        device_normalize,
+    )
+    from cvpr22_cross_modal_pseudo_labeling_tpu.models.detector.st_generalized_rcnn import (
+        normalize_rows,
+    )
+    from cvpr22_cross_modal_pseudo_labeling_tpu.models.roi_heads.mask_head import (
+        mask_head_inference,
+    )
+
+    def fn(mdl, images, image_sizes, boxes, table):
+        sb = mdl.statics.base
+        imgs = device_normalize(
+            images, image_sizes, sb.pixel_mean, sb.pixel_std, sb.to_bgr255
+        )
+        feats = mdl.backbone(imgs)
+        x = mdl.student.extract(feats, boxes)
+        logits, _, _ = mdl.student.box_outputs(x, normalize_rows(table))
+        mask_logits, _ = mdl.student.mask_outputs(x)
+        return logits, mask_logits
+
+    b = images.shape[0]
+    sizes = jnp.tile(jnp.array([[HW, HW]], jnp.int32), (b, 1))
+    logits, mask_logits = jax.jit(
+        lambda p, im, sz, bx, t: model.apply(p, im, sz, bx, t, method=fn)
+    )(
+        params,
+        jnp.asarray(images),
+        sizes,
+        jnp.asarray(boxes),
+        jnp.asarray(lvis_table),
+    )
+    probs = mask_head_inference(
+        mask_logits.astype(jnp.float32),
+        jnp.ones((mask_logits.shape[0],), jnp.int32),
+        True,
+    )
+    pred_masks = np.asarray(probs) >= 0.5
+    gt = masks.reshape(-1, M2, M2) >= 0.5
+    inter = (pred_masks & gt).sum((1, 2))
+    union = (pred_masks | gt).sum((1, 2))
+    iou = inter / np.maximum(union, 1)
+    # classes 1..C-1 as in the postprocessor (background col 0 skipped)
+    pred_label = 1 + np.asarray(
+        jnp.argmax(logits.astype(jnp.float32)[:, 1:], axis=-1)
+    )
+    correct = pred_label == labels.reshape(-1)
+    return {
+        "gtbox_mask_ap50": float((correct & (iou >= 0.5)).mean()),
+        "mean_mask_iou": float(iou.mean()),
+        "cls_acc": float(correct.mean()),
+    }
+
+
+def run_condition(
+    name,
+    uncertainty,
+    estimator,
+    n_samples,
+    steps,
+    corrupt_rate,
+    seed=0,
+    batch_size=8,
+    n_train=64,
+    n_held=32,
+):
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from cvpr22_cross_modal_pseudo_labeling_tpu.engine.train_step import (
+        build_train_step,
+        create_train_state,
+    )
+
+    rng = np.random.RandomState(seed)
+    tr_im, tr_bx, tr_lb, tr_mk = make_detection_data(rng, n_train)
+    he_im, he_bx, he_lb, he_mk = make_detection_data(
+        np.random.RandomState(seed + 100), n_held
+    )
+    corrupt = rng.rand(n_train) < corrupt_rate
+    lvis_table = np.random.RandomState(5).randn(LVIS_SLOTS, EMB).astype(
+        np.float32
+    )
+
+    model, cfg = build_model(uncertainty, estimator, n_samples)
+    first = make_batch(
+        tr_im[:batch_size],
+        tr_bx[:batch_size],
+        tr_lb[:batch_size],
+        tr_mk[:batch_size],
+        corrupt[:batch_size],
+        lvis_table,
+    )
+    params = jax.jit(
+        lambda r, b: model.init(
+            r,
+            b["images"],
+            b["image_sizes"],
+            {k: v for k, v in b.items() if k not in ("images", "image_sizes")},
+            b["class_embeddings"],
+            b["lvis_class_embeddings"],
+            train=True,
+        )
+    )(
+        {
+            "params": jax.random.PRNGKey(0),
+            "sampler": jax.random.PRNGKey(1),
+            "uncertainty": jax.random.PRNGKey(2),
+        },
+        first,
+    )
+    tx = optax.sgd(cfg.SOLVER.BASE_LR, momentum=0.9)
+    state = create_train_state(params, tx, jax.random.PRNGKey(7))
+    step = jax.jit(build_train_step(model, tx, "STGeneralizedRCNN"))
+
+    order = np.arange(n_train)
+    for it in range(steps):
+        if it % (n_train // batch_size) == 0:
+            rng.shuffle(order)
+        sel = order[
+            (it * batch_size) % n_train : (it * batch_size) % n_train
+            + batch_size
+        ]
+        batch = make_batch(
+            tr_im[sel], tr_bx[sel], tr_lb[sel], tr_mk[sel], corrupt[sel],
+            lvis_table,
+        )
+        state, metrics = step(state, batch)
+        if not np.isfinite(float(metrics["total_loss"])):
+            raise RuntimeError(f"{name}: non-finite loss at step {it}")
+    out = gtbox_metrics(
+        model, {"params": state.params["params"]},
+        he_im, he_bx, he_lb, he_mk, lvis_table,
+    )
+    out["final_loss_mask_pseudo"] = float(metrics["loss_mask_pseudo"])
+    return out
+
+
+CONDITIONS = (
+    ("fixed", False, "sampled_bce", 1),
+    ("sampled_bce", True, "sampled_bce", 1),
+    ("logmeanexp", True, "logmeanexp", 8),
+)
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--steps", type=int, default=300)
+    p.add_argument("--corrupt", type=float, default=0.5)
+    p.add_argument("--seed", type=int, default=0)
+    args = p.parse_args()
+
+    results = {}
+    for name, unc, est, ns in CONDITIONS:
+        results[name] = run_condition(
+            name, unc, est, ns, args.steps, args.corrupt, seed=args.seed
+        )
+        print(f"# {name}: {results[name]}", file=sys.stderr)
+    print(
+        json.dumps(
+            {
+                "metric": "st_e2e_noisy_pseudo_ablation",
+                "corrupt_rate": args.corrupt,
+                "steps": args.steps,
+                "conditions": results,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -43,10 +43,17 @@ MIX_LADDER = [
     ((1216, 800), (1199, 800), 0.10),    # 2:3 portrait
     ((800, 1088), (800, 800), 0.05),     # square (smallest fitting rung)
 ]
+# legacy = the SAME five SIZE_MIX classes routed through the
+# pre-round-4 3-bucket set (same weight basis and representatives as
+# MIX_LADDER, so legacy-vs-ladder isolates the bucket-set change only
+# — advisor r4: the old form mixed measured-COCO weights with
+# SIZE_MIX weights)
 MIX_LEGACY = [
-    ((800, 1333), (800, 1066), 0.706),   # 4:3 landscape (640x480 class)
-    ((1333, 800), (1333, 800), 0.245),   # portrait
-    ((1024, 1024), (900, 900), 0.049),   # near-square
+    ((800, 1333), (800, 1066), 0.50),    # 4:3 landscape
+    ((800, 1333), (800, 1199), 0.20),    # 3:2 landscape
+    ((1333, 800), (1066, 800), 0.15),    # 3:4 portrait
+    ((1333, 800), (1199, 800), 0.10),    # 2:3 portrait
+    ((1024, 1024), (800, 800), 0.05),    # square
 ]
 MIX = (
     MIX_LEGACY if os.environ.get("BENCH_BUCKETS") == "legacy"

@@ -389,8 +389,12 @@ def train(cfg, logger):
     mesh = make_mesh(cfg.TPU.MESH_AXES, cfg.TPU.MESH_SHAPE)
     from cvpr22_cross_modal_pseudo_labeling_tpu.engine.train_step import (
         lvis_table_sharding,
+        pad_vocab_tables,
     )
 
+    # the example batch must match what DevicePrefetcher._place_batch
+    # feeds each step: class tables padded to the 'model'-axis multiple
+    # (vocab-parallel at COCO-49 / LVIS-1203 sizes)
     step_fn = jit_train_step(
         build_train_step(
             model, tx, meta_arch,
@@ -398,7 +402,7 @@ def train(cfg, logger):
             lvis_table_sharding=lvis_table_sharding(mesh),
         ),
         mesh,
-        {**example_batch, **extra_batch},
+        pad_vocab_tables({**example_batch, **extra_batch}, mesh),
     )
 
     # periodic in-training evaluation at SOLVER.TEST_PERIOD (reference
