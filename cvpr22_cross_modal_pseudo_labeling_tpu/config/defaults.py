@@ -299,6 +299,13 @@ _C.MODEL.ROI_MASK_HEAD.USE_GN = False
 #     "sampled_bce" at UNCERTAINTY_SAMPLES=1.
 _C.MODEL.ROI_MASK_HEAD.UNCERTAINTY_ESTIMATOR = "sampled_bce"
 _C.MODEL.ROI_MASK_HEAD.UNCERTAINTY_SAMPLES = 1
+# Upper bound on the predicted noise sigma (0.0 = unbounded, reference
+# parity).  Under "sampled_bce" Jensen pressure keeps sigma small and no
+# bound is needed; under "logmeanexp" sigma is REWARDED at contradicted
+# pixels and, with a 50% label-noise rate, runs away until the mask head
+# stops learning (measured e2e in tools/ablate_st_e2e.py: unbounded
+# logmeanexp diverges, sigma_max=4 realizes the claimed robustness).
+_C.MODEL.ROI_MASK_HEAD.UNCERTAINTY_SIGMA_MAX = 0.0
 
 _C.MODEL.ROI_KEYPOINT_HEAD = CN()
 _C.MODEL.ROI_KEYPOINT_HEAD.FEATURE_EXTRACTOR = "KeypointRCNNFeatureExtractor"

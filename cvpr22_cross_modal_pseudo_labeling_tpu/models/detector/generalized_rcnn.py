@@ -135,6 +135,7 @@ class GeneralizedRCNN(nn.Module):
                 num_classes=2 if s.cls_agnostic_mask else s.num_classes,
                 dim_reduced=s.mask_dim_reduced,
                 uncertainty=s.uncertainty,
+                sigma_max=getattr(s, "uncertainty_sigma_max", 0.0),
                 dtype=dtype,
             )
         if s.keypoint_on:

@@ -79,6 +79,9 @@ class RCNNStatics(NamedTuple):
     # reference hardcodes 1 sample (roi_mask_predictors.py:47)
     uncertainty_estimator: str = "sampled_bce"
     uncertainty_samples: int = 1
+    # sigma cap for the uncertainty head (0.0 = unbounded, parity);
+    # required for stable "logmeanexp" training under heavy label noise
+    uncertainty_sigma_max: float = 0.0
     mask_dim_reduced: int = 256
     # keypoint head (MODEL.KEYPOINT_ON, reference roi_heads.py:57-62)
     keypoint_on: bool = False
@@ -173,6 +176,7 @@ def statics_from_cfg(cfg, data_shards: int = 1) -> RCNNStatics:
         uncertainty=m.UNCERTAINTY,
         uncertainty_estimator=m.ROI_MASK_HEAD.UNCERTAINTY_ESTIMATOR,
         uncertainty_samples=m.ROI_MASK_HEAD.UNCERTAINTY_SAMPLES,
+        uncertainty_sigma_max=m.ROI_MASK_HEAD.UNCERTAINTY_SIGMA_MAX,
         mask_dim_reduced=m.ROI_MASK_HEAD.CONV_LAYERS[-1],
         max_gt=cfg.TPU.MAX_GT,
         nms_tile=cfg.TPU.NMS_TILE,

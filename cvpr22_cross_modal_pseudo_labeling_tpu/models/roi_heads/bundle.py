@@ -48,6 +48,7 @@ class RoIHeadsBundle(nn.Module):
                 num_classes=2 if s.cls_agnostic_mask else s.num_classes,
                 dim_reduced=s.mask_dim_reduced,
                 uncertainty=self.uncertainty,
+                sigma_max=getattr(s, "uncertainty_sigma_max", 0.0),
                 dtype=dtype,
             )
 

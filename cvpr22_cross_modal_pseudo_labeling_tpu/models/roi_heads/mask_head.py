@@ -30,6 +30,12 @@ class MaskPredictor(nn.Module):
     num_classes: int  # 2 when cls-agnostic
     dim_reduced: int = 256
     uncertainty: bool = False
+    # upper bound on the predicted sigma; 0.0 = unbounded (reference
+    # parity — safe under "sampled_bce", whose Jensen pressure shrinks
+    # sigma).  "logmeanexp" REWARDS sigma at contradicted pixels, and
+    # under heavy label noise unbounded sigma runs away until the mask
+    # head stops learning (tools/ablate_st_e2e.py) — cap it.
+    sigma_max: float = 0.0
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -76,7 +82,8 @@ class MaskPredictor(nn.Module):
         # uses (roi_mask_predictors.py:43-48) but unclamped it overflows
         # to inf under divergence and NaNs the whole step; +-30 is far
         # outside any healthy sigma and changes nothing numerically
-        scale = jnp.exp(0.5 * jnp.clip(scale_logit, -30.0, 30.0))
+        hi = 2.0 * jnp.log(self.sigma_max) if self.sigma_max > 0 else 30.0
+        scale = jnp.exp(0.5 * jnp.clip(scale_logit, -30.0, hi))
 
         if train:
             eps = jax.random.normal(

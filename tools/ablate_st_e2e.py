@@ -11,9 +11,20 @@ attenuated mask loss (roi_mask_predictors.py:43-63) — under
 pseudo-labels whose MASKS are corrupted at a controlled rate, and
 compares held-out GT-box mask AP50 across three conditions:
 
-  (a) fixed     — MODEL.UNCERTAINTY=False, plain BCE mask loss;
-  (b) sampled_bce — the reference estimator (n=1), adaptive lambda;
-  (c) logmeanexp  — the Kendall-Gal estimator (n=8), adaptive lambda.
+  (a) fixed        — MODEL.UNCERTAINTY=False, plain BCE mask loss;
+  (b) sampled_bce  — the reference estimator (n=1), fixed lambda;
+  (c) logmeanexp   — the Kendall-Gal estimator (n=8), fixed lambda;
+  (d) sampled_bce_adaptive / (e) logmeanexp_adaptive — (b)/(c) plus the
+      reference's adaptive ``0.01/avg_uncertain`` branch weight
+      (MODEL.REWEIGHT, st_generalized_rcnn.py:336-341).
+
+Conditions (a)-(c) hold every branch weight at 1.0, so they isolate the
+per-pixel mask-loss attenuation; (d)/(e) additionally rescale the
+cls/box pseudo losses by the adaptive lambda, measuring the full
+reference mechanism (round-4's mechanism study showed that lambda is a
+rising anneal under sampled_bce, not a noise discriminator — here that
+confound is visible e2e: the adaptive conditions' classifier accuracy
+moves with lambda's trajectory, not with mask quality).
 
 Controlled experiment: a "perfect-boxes, noisy-masks teacher" — the
 ``_override_pseudo`` hook injects GT boxes/labels as pseudo-labels with
@@ -43,17 +54,25 @@ sys.path.insert(
     0, os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 )
 
-LVIS_SLOTS = 5  # toy LVIS vocabulary; labels 1 (ellipse) / 2 (diamond)
+LVIS_SLOTS = 5  # toy LVIS vocabulary; labels 1 (circle) / 2 (diamond)
 EMB = 16
-HW = 64
-M2 = 28  # mask-head output resolution (2 x RESOLUTION//2 grid)
+HW = 96
+M2 = 28  # GT raster resolution in the box frame
 
 
 def make_detection_data(rng, n, hw=HW, m2=M2):
-    """One bright shape per image on a dark noisy background: ellipse
-    (label 1) or diamond (label 2) — cls-agnostic mask heads must read
-    the image to tell them apart, so mask quality cannot saturate from
-    a constant output."""
+    """One bright SQUARE-box shape per image on a dark noisy background:
+    circle (label 1) or diamond (label 2) — cls-agnostic mask heads must
+    read the image to tell them apart, so mask quality cannot saturate
+    from a constant output.
+
+    Geometry is matched to the frozen random-init RPN: its 0.01-std conv
+    heads emit near-zero deltas, so student proposals are the ANCHORS.
+    Square 48-72 px shapes against square anchors (48,56,64,72) at
+    stride 16 guarantee a >=0.45-IoU proposal for every target (worst
+    case: size s matched by the nearest anchor size within 4 px at
+    center offset <=8 px/axis), so the pseudo branch always has
+    positives to route mask gradients through."""
     images = (rng.rand(n, hw, hw, 3) * 0.15).astype(np.float32)
     boxes = np.zeros((n, 1, 4), np.float32)
     labels = np.zeros((n, 1), np.int32)
@@ -61,7 +80,7 @@ def make_detection_data(rng, n, hw=HW, m2=M2):
     yy, xx = np.mgrid[0:hw, 0:hw]
     gy, gx = np.mgrid[0:m2, 0:m2]
     for i in range(n):
-        w, h = rng.randint(24, 40, 2)
+        w = h = rng.randint(48, 73)
         x0 = rng.randint(2, hw - w - 2)
         y0 = rng.randint(2, hw - h - 2)
         cx, cy, rx, ry = x0 + w / 2, y0 + h / 2, w / 2, h / 2
@@ -109,22 +128,40 @@ def ablation_cfg():
     cfg.MODEL.ROI_HEADS.POSITIVE_FRACTION = 1.0
     cfg.MODEL.ROI_HEADS.BATCH_SIZE_PER_IMAGE = 16
     cfg.MODEL.ROI_HEADS.DETECTIONS_PER_IMG = 8
-    # keep nearly every anchor as a caption-branch candidate: the RPN is
-    # frozen at random init, so proposal RECALL must come from anchor
-    # coverage (16px-spaced 32x32 anchors give IoU >= 0.5 with the
-    # 24-40px shapes)
+    # keep EVERY anchor as a caption-branch candidate: the RPN is frozen
+    # at random init so its scores are noise, and proposal RECALL must
+    # come from anchor coverage (see make_detection_data).  NMS_THRESH
+    # 0.95 keeps same-center anchors of adjacent sizes (IoU up to 0.77)
+    # from being suppressed by random score order; FG 0.45 admits the
+    # worst-case covering anchor.  Identical across all three
+    # conditions, so the comparison stays controlled.
+    cfg.MODEL.RPN.ANCHOR_SIZES = (48, 56, 64, 72)
+    cfg.MODEL.RPN.ASPECT_RATIOS = (1.0,)
+    cfg.MODEL.RPN.NMS_THRESH = 0.95
+    cfg.MODEL.ROI_HEADS.FG_IOU_THRESHOLD = 0.45
+    cfg.MODEL.ROI_HEADS.BG_IOU_THRESHOLD = 0.45
     cfg.MODEL.RPN.PRE_NMS_TOP_N_TEST = 256
-    cfg.MODEL.RPN.POST_NMS_TOP_N_TEST = 128
+    cfg.MODEL.RPN.POST_NMS_TOP_N_TEST = 160
     cfg.MODEL.RPN.PRE_NMS_TOP_N_TRAIN = 256
-    cfg.MODEL.RPN.POST_NMS_TOP_N_TRAIN = 128
+    cfg.MODEL.RPN.POST_NMS_TOP_N_TRAIN = 160
     cfg.TPU.MAX_GT = 2
     cfg.TPU.MAX_CAP_NOUNS = 1
     cfg.TPU.NMS_TILE = 256
-    cfg.SOLVER.BASE_LR = 0.02
+    # the pseudo mask loss is pixel-summed per RoI (~240 at init), and
+    # here it is UNWEIGHTED (fixed lambda 1.0 == the adaptive
+    # conditions' mask weight) instead of production's 0.1 — scale the
+    # LR down accordingly and clip, identically for every condition
+    cfg.SOLVER.BASE_LR = 0.002
     return cfg
 
 
-def build_model(uncertainty: bool, estimator: str, n_samples: int):
+def build_model(
+    uncertainty: bool,
+    estimator: str,
+    n_samples: int,
+    reweight: bool = False,
+    sigma_max: float = 0.0,
+):
     from cvpr22_cross_modal_pseudo_labeling_tpu.models.detector.st_generalized_rcnn import (
         STGeneralizedRCNN,
         st_statics_from_cfg,
@@ -148,12 +185,17 @@ def build_model(uncertainty: bool, estimator: str, n_samples: int):
 
     cfg = ablation_cfg()
     cfg.MODEL.UNCERTAINTY = uncertainty
-    cfg.MODEL.REWEIGHT = uncertainty
-    cfg.MODEL.LAMBDA_PSEUDO_LABEL = 1.0  # fixed-lambda at the adaptive
-    # conditions' mask weight (their mask loss is unweighted), so the
-    # ONLY difference between conditions is the uncertainty mechanism
+    cfg.MODEL.REWEIGHT = reweight
+    cfg.MODEL.LAMBDA_PSEUDO_LABEL = 1.0  # with REWEIGHT off, every
+    # branch weight is 1.0 in every condition, so the ONLY difference
+    # is the mask-loss estimator itself
     cfg.MODEL.ROI_MASK_HEAD.UNCERTAINTY_ESTIMATOR = estimator
     cfg.MODEL.ROI_MASK_HEAD.UNCERTAINTY_SAMPLES = n_samples
+    # logmeanexp REWARDS sigma at contradicted pixels; at 50% mask noise
+    # unbounded sigma runs away (measured: mask IoU -> 0.0, loss 1372 and
+    # rising).  The cap is the shipped stability recipe for this
+    # estimator; sampled_bce/fixed never approach it (Jensen pressure).
+    cfg.MODEL.ROI_MASK_HEAD.UNCERTAINTY_SIGMA_MAX = sigma_max
     statics = st_statics_from_cfg(cfg)._replace(
         vocab_size=64, lvis_vocab=LVIS_SLOTS
     )
@@ -237,6 +279,12 @@ def gtbox_metrics(model, params, images, boxes, labels, masks, lvis_table):
         True,
     )
     pred_masks = np.asarray(probs) >= 0.5
+    # compare at the head's native output resolution (nearest upsample —
+    # the same paste discipline Masker uses, and IoU-neutral for these
+    # smooth shapes)
+    if pred_masks.shape[-1] != M2:
+        f = M2 // pred_masks.shape[-1]
+        pred_masks = pred_masks.repeat(f, axis=-2).repeat(f, axis=-1)
     gt = masks.reshape(-1, M2, M2) >= 0.5
     inter = (pred_masks & gt).sum((1, 2))
     union = (pred_masks | gt).sum((1, 2))
@@ -264,6 +312,8 @@ def run_condition(
     batch_size=8,
     n_train=64,
     n_held=32,
+    reweight=False,
+    sigma_max=0.0,
 ):
     import jax
     import jax.numpy as jnp
@@ -284,7 +334,9 @@ def run_condition(
         np.float32
     )
 
-    model, cfg = build_model(uncertainty, estimator, n_samples)
+    model, cfg = build_model(
+        uncertainty, estimator, n_samples, reweight, sigma_max
+    )
     first = make_batch(
         tr_im[:batch_size],
         tr_bx[:batch_size],
@@ -311,11 +363,15 @@ def run_condition(
         },
         first,
     )
-    tx = optax.sgd(cfg.SOLVER.BASE_LR, momentum=0.9)
+    tx = optax.chain(
+        optax.clip_by_global_norm(10.0),
+        optax.sgd(cfg.SOLVER.BASE_LR, momentum=0.9),
+    )
     state = create_train_state(params, tx, jax.random.PRNGKey(7))
     step = jax.jit(build_train_step(model, tx, "STGeneralizedRCNN"))
 
     order = np.arange(n_train)
+    peak_mask_loss = 0.0
     for it in range(steps):
         if it % (n_train // batch_size) == 0:
             rng.shuffle(order)
@@ -330,6 +386,16 @@ def run_condition(
         state, metrics = step(state, batch)
         if not np.isfinite(float(metrics["total_loss"])):
             raise RuntimeError(f"{name}: non-finite loss at step {it}")
+        peak_mask_loss = max(
+            peak_mask_loss, float(metrics["loss_mask_pseudo"])
+        )
+    if peak_mask_loss == 0.0:
+        # zero positives matched all run: the anchor-coverage premise
+        # failed and the conditions would compare nothing
+        raise RuntimeError(
+            f"{name}: loss_mask_pseudo stayed 0.0 for {steps} steps "
+            "(no positive RoIs — check anchor coverage vs shape sizes)"
+        )
     out = gtbox_metrics(
         model, {"params": state.params["params"]},
         he_im, he_bx, he_lb, he_mk, lvis_table,
@@ -339,9 +405,13 @@ def run_condition(
 
 
 CONDITIONS = (
-    ("fixed", False, "sampled_bce", 1),
-    ("sampled_bce", True, "sampled_bce", 1),
-    ("logmeanexp", True, "logmeanexp", 8),
+    # name, uncertainty, estimator, n_samples, reweight, sigma_max
+    ("fixed", False, "sampled_bce", 1, False, 0.0),
+    ("sampled_bce", True, "sampled_bce", 1, False, 0.0),
+    ("logmeanexp", True, "logmeanexp", 8, False, 4.0),
+    ("logmeanexp_unbounded", True, "logmeanexp", 8, False, 0.0),
+    ("sampled_bce_adaptive", True, "sampled_bce", 1, True, 0.0),
+    ("logmeanexp_adaptive", True, "logmeanexp", 8, True, 4.0),
 )
 
 
@@ -353,9 +423,10 @@ def main():
     args = p.parse_args()
 
     results = {}
-    for name, unc, est, ns in CONDITIONS:
+    for name, unc, est, ns, rw, sm in CONDITIONS:
         results[name] = run_condition(
-            name, unc, est, ns, args.steps, args.corrupt, seed=args.seed
+            name, unc, est, ns, args.steps, args.corrupt, seed=args.seed,
+            reweight=rw, sigma_max=sm,
         )
         print(f"# {name}: {results[name]}", file=sys.stderr)
     print(
